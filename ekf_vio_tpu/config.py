@@ -1,0 +1,124 @@
+"""Configuration for the TPU-native EKF-VIO engine.
+
+Mirrors the knob names and defaults of the reference parameter system
+(reference: include/ekf_vio/Params.h:16-126, loaded at EKFVIO.cpp:20-67),
+re-expressed as an immutable dataclass instead of ~50 mutable globals.
+
+Vestigial reference knobs (MOBA/SBA/keyframe/Huber parameters that no
+reference algorithm reads — see SURVEY.md §2 item 7) are intentionally
+omitted; everything an algorithm actually consumes is here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class VIOConfig:
+    # ---- filter capacity / layout (new: fixed capacity for static XLA shapes)
+    num_features: int = 100          # D_NUM_FEATURES (Params.h:46)
+    max_features: int = 128          # slot capacity N_max (padded; >= num_features)
+
+    # ---- front-end: FAST detection
+    fast_threshold: int = 50         # D_FAST_THRESHOLD (Params.h:24)
+    fast_blur_sigma: float = 0.0     # D_FAST_BLUR_SIGMA (Params.h:26)
+    min_new_feature_dist: float = 30.0  # D_MIN_NEW_FEATURE_DIST (Params.h:43)
+
+    # ---- front-end: KLT tracking
+    klt_window_size: int = 21        # D_WINDOW_SIZE (Params.h:104)
+    klt_max_pyramid_level: int = 3   # D_MAX_PYRAMID_LEVEL (Params.h:103)
+    klt_iterations: int = 30         # TermCriteria COUNT (KLTTracker.cpp:63-64)
+    klt_eps: float = 0.01            # TermCriteria EPS (KLTTracker.cpp:64)
+    klt_min_eigen: float = 1e-4      # D_KLT_MIN_EIGEN (Params.h:36)
+    kill_pad: int = 11               # D_KILL_PAD (Params.h:33)
+
+    # ---- image handling
+    inverse_image_scale: int = 4     # D_INVERSE_IMAGE_SCALE (Params.h:28)
+
+    # ---- feature initialization
+    default_point_depth: float = 0.5           # D_DEFAULT_POINT_DEPTH (Params.h:83)
+    default_point_depth_variance: float = 100.0  # D_DEFAULT_POINT_DEPTH_VARIANCE (Params.h:84)
+    default_point_homogenous_variance: float = 1e-5  # (Params.h:86)
+
+    # ---- measurement model
+    klt_measurement_variance_px: float = 1e-5  # constant 2x2 R in px^2 (KLTTracker.cpp:100-106)
+
+    # ---- process noise (per-second rates; reference hand-tuned values
+    #      TightlyCoupledEKF.cpp:126-131, each multiplied by dt)
+    q_pos: float = 1e-4
+    q_vel: float = 0.01
+    q_omega: float = 5.0
+    q_accel: float = 5.0
+    q_bias: float = 1e-3
+    q_feature: float = 1e-4
+
+    # ---- initial base-state variances (TightlyCoupledEKF.cpp:29-54)
+    init_pose_variance: float = 0.0     # pos+quat anchored
+    init_kinematic_variance: float = 30.0  # vel / omega / accel
+    init_bias_variance: float = 0.5
+
+    # ---- pipeline thresholds
+    start_feature_count: int = 20        # D_START_FEATURE_COUNT (Params.h:49)
+    minimum_trackable_features: int = 4  # D_MINIMUM_TRACKABLE_FEATURES (Params.h:55)
+    frame_buffer_size: int = 2           # D_FRAME_BUFFER_SIZE (Params.h:58)
+
+    # ---- IMU fusion (new capability; reference declares USE_IMU but never
+    #      fuses IMU data — EKFVIO.cpp:113-115, SURVEY.md §0)
+    use_imu: bool = False            # D_USE_IMU is true but inert in reference
+    imu_rate_hz: float = 200.0
+    imu_gyro_noise: float = 1.7e-4   # rad/s/sqrt(Hz), EuRoC-class MEMS defaults
+    imu_accel_noise: float = 2.0e-3  # m/s^2/sqrt(Hz)
+    imu_gyro_bias_walk: float = 1.9e-5
+    imu_accel_bias_walk: float = 3.0e-3
+    gravity: float = 9.81
+
+    # ---- numerics
+    dtype: Any = None                # resolved lazily to jnp.float32
+    sigma_jitter: float = 0.0        # optional diagonal jitter on S
+
+    def __post_init__(self):
+        # capacity bounds the target count
+        if self.max_features < self.num_features:
+            object.__setattr__(self, "num_features", self.max_features)
+
+    # state layout helpers -------------------------------------------------
+    BASE_STATE_SIZE = 22  # TightlyCoupledEKF.h:11-12
+
+    @property
+    def state_dim(self) -> int:
+        return self.BASE_STATE_SIZE + 3 * self.max_features
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "VIOConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "VIOConfig":
+        """Load overrides from a YAML profile (analog of params/*.yaml)."""
+        import yaml  # lazy; pyyaml ships with the image via jax deps
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def replace(self, **kw) -> "VIOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Base-state index map (TightlyCoupledEKF.cpp:328-393):
+#   [0:3]   position (world frame)
+#   [3:7]   orientation quaternion [w, x, y, z]
+#   [7:10]  linear velocity (body frame)
+#   [10:13] angular rate (body frame)
+#   [13:16] linear acceleration (body frame)
+#   [16:19] accelerometer bias
+#   [19:22] gyro bias
+POS = slice(0, 3)
+QUAT = slice(3, 7)
+VEL = slice(7, 10)
+OMEGA = slice(10, 13)
+ACCEL = slice(13, 16)
+BIAS_ACC = slice(16, 19)
+BIAS_GYRO = slice(19, 22)
+BASE_STATE_SIZE = 22

@@ -1,0 +1,61 @@
+"""TightlyCoupledEKF — functional facade over the core pieces.
+
+The reference bundles everything into one mutable class
+(reference: TightlyCoupledEKF.h:16-72).  The TPU-native equivalent is a
+set of pure functions over a ``FilterState`` pytree, so the whole filter
+composes with jit / vmap / scan / shard_map.  This module re-exports the
+state ops and provides ``predict`` (process) to mirror the reference API:
+
+    reference                     ->  here
+    --------------------------------------------------------------
+    TightlyCoupledEKF()           ->  init_state(cfg)
+    addNewFeatures(...)           ->  add_features(state, cfg, uv, valid)
+    process(dt)                   ->  predict(state, cfg, dt)
+    updateWithFeaturePositions()  ->  update_with_feature_positions(...)
+    previousFeaturePositionVector ->  state.klt_ref
+    checkSigma()                  ->  check_sigma(state)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.core import dynamics
+from ekf_vio_tpu.core.state import (  # noqa: F401  (re-exports)
+    FilterState,
+    add_features,
+    check_sigma,
+    drop_features,
+    init_state,
+)
+from ekf_vio_tpu.core.update import (  # noqa: F401
+    innovation_stats,
+    update_with_feature_positions,
+)
+
+
+def predict(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
+    """Process step (analog of TightlyCoupledEKF::process, cpp:96-121).
+
+    1. exact Jacobian blocks (replacing O(9N) central differences,
+       TightlyCoupledEKF.cpp:176-325),
+    2. mean transport for features then base (order matters — features are
+       transported with the *pre-update* base state, cpp:102-107),
+    3. Σ ← FΣFᵀ + Q via structured blocked matmuls (cpp:113-117; the
+       sparse prune is unnecessary for a dense representation).
+    """
+    dt = jnp.asarray(dt, state.base_mu.dtype)
+
+    Fb, Ffb, Ff = dynamics.process_jacobian_blocks(state.base_mu, state.feat_mu, dt)
+    Ffb, Ff = dynamics.mask_feature_jacobians(Ffb, Ff, state.active)
+
+    new_feat = dynamics.convolve_features(state.base_mu, state.feat_mu, dt)
+    feat_mu = jnp.where(state.active[:, None], new_feat, state.feat_mu)
+    base_mu = dynamics.convolve_base_state(state.base_mu, dt)
+
+    q_diag = dynamics.process_noise_diag(dt, state.n_max, state.active, cfg).astype(
+        state.Sigma.dtype
+    )
+    Sigma = dynamics.propagate_covariance(state.Sigma, Fb, Ffb, Ff, q_diag)
+
+    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Sigma, t=state.t + dt)

@@ -1,0 +1,196 @@
+"""FilterState: the whole EKF state as a single static-shape pytree.
+
+The reference stores a dynamic ``std::list<Feature>`` plus a sparse Σ that
+is ``conservativeResize``d as features come and go
+(reference: TightlyCoupledEKF.h:29-34, TightlyCoupledEKF.cpp:58-94).  On
+TPU, dynamic shapes force recompiles, so the TPU-native design is a fixed
+capacity of ``N_max`` feature *slots* with an ``active`` mask; Σ is a dense
+f32 ``[D, D]`` matrix, ``D = 22 + 3·N_max``.  Slot allocation/free replaces
+list insert/erase (and, unlike the reference, dead features actually free
+their slot — the reference sets ``delete_flag`` but never erases,
+TightlyCoupledEKF.cpp:525-529 / SURVEY.md §2.1).
+
+Everything is a registered dataclass pytree: it jits, vmaps, shards, and
+serializes (orbax/npz) for free.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ekf_vio_tpu.config import BASE_STATE_SIZE, VIOConfig
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["base_mu", "feat_mu", "active", "klt_ref", "Sigma", "t"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class FilterState:
+    base_mu: jnp.ndarray  # [22]
+    feat_mu: jnp.ndarray  # [N_max, 3]  (u, v, 1/depth)
+    active: jnp.ndarray   # [N_max] bool
+    klt_ref: jnp.ndarray  # [N_max, 2]  last tracker result (metric), Feature.h:43
+    Sigma: jnp.ndarray    # [D, D] dense covariance
+    t: jnp.ndarray        # scalar f64-as-f32 time (seconds)
+
+    @property
+    def n_max(self) -> int:
+        return self.feat_mu.shape[-2]
+
+    @property
+    def state_dim(self) -> int:
+        return BASE_STATE_SIZE + 3 * self.n_max
+
+    def num_active(self) -> jnp.ndarray:
+        return jnp.sum(self.active.astype(jnp.int32), axis=-1)
+
+    def mu_flat(self) -> jnp.ndarray:
+        """Flatten [base | features] into the single state vector the
+        update operates on (analog of TightlyCoupledEKF.cpp:492-541)."""
+        return jnp.concatenate([self.base_mu, self.feat_mu.reshape(-1)], axis=-1)
+
+    def replace(self, **kw) -> "FilterState":
+        return dataclasses.replace(self, **kw)
+
+
+def init_state(cfg: VIOConfig, t0: float = 0.0, dtype=jnp.float32) -> FilterState:
+    """Initial state (reference: TightlyCoupledEKF.cpp:23-56).
+
+    base_mu = 0 except unit quaternion; pose block variance 0 (anchored),
+    kinematic block variance 30, bias variance 0.5.  Feature slots start
+    inactive at the default-depth prior (ρ = 1/default_depth keeps the
+    transport math finite for padded slots).
+    """
+    n = cfg.max_features
+    d = BASE_STATE_SIZE + 3 * n
+
+    base_mu = jnp.zeros((BASE_STATE_SIZE,), dtype)
+    base_mu = base_mu.at[3].set(1.0)  # qw = 1, no rotation
+
+    sig_diag = jnp.concatenate(
+        [
+            jnp.full((7,), cfg.init_pose_variance, dtype),
+            jnp.full((9,), cfg.init_kinematic_variance, dtype),
+            jnp.full((6,), cfg.init_bias_variance, dtype),
+            jnp.zeros((3 * n,), dtype),
+        ]
+    )
+
+    rho0 = 1.0 / cfg.default_point_depth
+    feat_mu = jnp.tile(jnp.array([0.0, 0.0, rho0], dtype), (n, 1))
+
+    return FilterState(
+        base_mu=base_mu,
+        feat_mu=feat_mu,
+        active=jnp.zeros((n,), bool),
+        klt_ref=jnp.zeros((n, 2), dtype),
+        Sigma=jnp.diag(sig_diag),
+        t=jnp.asarray(t0, dtype),
+    )
+
+
+def feature_rowcol_indices(n_max: int):
+    """Static index vectors into the flat state for feature sub-blocks."""
+    base = BASE_STATE_SIZE + 3 * jnp.arange(n_max)
+    uv = jnp.stack([base, base + 1], axis=-1).reshape(-1)  # [2N]
+    uvr = jnp.stack([base, base + 1, base + 2], axis=-1).reshape(-1)  # [3N]
+    return uv, uvr
+
+
+def add_features(
+    state: FilterState, cfg: VIOConfig, new_uv: jnp.ndarray, valid: jnp.ndarray
+) -> FilterState:
+    """Insert up to K new features into free slots.
+
+    Analog of ``addNewFeatures`` (TightlyCoupledEKF.cpp:58-94): each new
+    feature enters at the default depth with diagonal prior
+    [σ_uv, σ_uv, σ_depth] and *no* initial cross-correlation ("introduced
+    naturally through the process", TightlyCoupledEKF.cpp:66-67) — so the
+    inserted slot's Σ rows/cols are wiped before the diagonal is set
+    (slot-reuse semantics replacing conservativeResize).
+
+    Args:
+      new_uv: [K, 2] candidate normalized-metric positions.
+      valid:  [K] bool — which candidates are real (static-shape padding).
+    """
+    n = state.n_max
+    k = new_uv.shape[0]
+
+    free = ~state.active  # [N]
+    # Rank free slots and valid candidates; candidate j goes to the j-th free
+    # slot. Assignment is computed with cumsums so shapes stay static.
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # rank of each slot among free
+    cand_rank = jnp.cumsum(valid.astype(jnp.int32)) - 1       # rank of each candidate among valid
+    n_free = jnp.sum(free.astype(jnp.int32))
+    n_cand = jnp.sum(valid.astype(jnp.int32))
+    n_insert = jnp.minimum(n_free, n_cand)
+
+    # slot i receives candidate with cand_rank == free_rank[i], if both valid.
+    take = free & (free_rank < n_insert)                      # [N] slots that get filled
+    # For each slot, which candidate index? Build via searchsorted over ranks.
+    cand_idx_of_rank = jnp.zeros((k,), jnp.int32).at[jnp.where(valid, cand_rank, k)].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )
+    # Guard: for rank r, cand_idx_of_rank[r] = index of the r-th valid candidate.
+    src = cand_idx_of_rank[jnp.clip(free_rank, 0, k - 1)]     # [N]
+
+    rho0 = jnp.asarray(1.0 / cfg.default_point_depth, state.feat_mu.dtype)
+    new_mu = jnp.concatenate([new_uv[src], jnp.full((n, 1), rho0)], axis=-1)  # [N,3]
+
+    feat_mu = jnp.where(take[:, None], new_mu, state.feat_mu)
+    klt_ref = jnp.where(take[:, None], new_uv[src], state.klt_ref)
+    active = state.active | take
+
+    # Σ bookkeeping: zero the rows/cols of (re)allocated slots, then set the
+    # diagonal prior.
+    _, uvr = feature_rowcol_indices(n)
+    take3 = jnp.repeat(take, 3)  # [3N]
+    row_mask = jnp.zeros((state.state_dim,), bool).at[uvr].set(take3)
+    Sigma = jnp.where(row_mask[:, None] | row_mask[None, :], 0.0, state.Sigma)
+    prior = jnp.where(
+        take[:, None],
+        jnp.array(
+            [
+                cfg.default_point_homogenous_variance,
+                cfg.default_point_homogenous_variance,
+                cfg.default_point_depth_variance,
+            ],
+            Sigma.dtype,
+        ),
+        0.0,
+    ).reshape(-1)
+    diag = jnp.diag(Sigma)
+    Sigma = Sigma.at[uvr, uvr].set(jnp.where(take3, prior, diag[uvr]))
+
+    return state.replace(feat_mu=feat_mu, active=active, klt_ref=klt_ref, Sigma=Sigma)
+
+
+def drop_features(state: FilterState, drop: jnp.ndarray) -> FilterState:
+    """Free slots (the cleanup the reference never performs).
+
+    Σ rows/cols of dropped slots are zeroed so they cannot re-correlate;
+    their mean returns to the default prior on next allocation.
+    """
+    n = state.n_max
+    _, uvr = feature_rowcol_indices(n)
+    drop = drop & state.active
+    drop3 = jnp.repeat(drop, 3)
+    row_mask = jnp.zeros((state.state_dim,), bool).at[uvr].set(drop3)
+    Sigma = jnp.where(row_mask[:, None] | row_mask[None, :], 0.0, state.Sigma)
+    return state.replace(active=state.active & ~drop, Sigma=Sigma)
+
+
+def check_sigma(state: FilterState, sym_eps: float = 1e-3):
+    """Invariant audit (analog of checkSigma, TightlyCoupledEKF.cpp:699-714).
+
+    Returns (min_diag, max_asymmetry) for assertion in tests: diagonal must
+    be >= 0 and Σ symmetric within sym_eps.
+    """
+    diag = jnp.diag(state.Sigma)
+    asym = jnp.max(jnp.abs(state.Sigma - state.Sigma.T))
+    return jnp.min(diag), asym

@@ -1,0 +1,125 @@
+"""EKF measurement update — dense, masked, MXU-shaped.
+
+The reference's measurement model is a *linear selector* H that picks the
+(u, v) components of each successfully tracked feature out of the state
+(reference: TightlyCoupledEKF.cpp:634-661), and the update follows the
+numerically careful recipe spelled out at TightlyCoupledEKF.cpp:545-552:
+
+    y = z − Hμ
+    S = R + HΣHᵀ
+    K : solve SᵀKᵀ = (ΣHᵀ)ᵀ        (LDLT in the reference)
+    μ ← μ + Ky
+    Σ ← (I−KH)Σ(I−KH)ᵀ + KRKᵀ      (Joseph form)
+    quaternion renormalized         (TightlyCoupledEKF.cpp:604-609)
+
+TPU-native realization:
+
+* H is never materialized.  Because the selector indices are *static*
+  (feature i's (u,v) always live at rows 22+3i, 22+3i+1), HΣ and ΣHᵀ are
+  gathers and KH is a scatter of K's columns.
+* Variable measurement sets (the reference rebuilds H each frame) become a
+  measurement *mask*: unmeasured rows get S̃ = identity / zero gain columns,
+  so one fixed-shape Cholesky handles every frame without recompilation.
+* The gain solve is a blocked Cholesky (`cho_solve`) — the dense/PSD analog
+  of the reference's sparse LDLT — and Σ is symmetrized after the Joseph
+  product, realizing the symmetrization the reference's ``fixSigma`` stub
+  gestures at (TightlyCoupledEKF.cpp:716-718).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+from ekf_vio_tpu.config import BASE_STATE_SIZE, VIOConfig
+from ekf_vio_tpu.core.state import FilterState, feature_rowcol_indices
+
+
+def block_diag_R(R: jnp.ndarray) -> jnp.ndarray:
+    """[N, 2, 2] per-feature covariances -> [2N, 2N] block diagonal."""
+    n = R.shape[0]
+    out = jnp.zeros((2 * n, 2 * n), R.dtype)
+    rows = 2 * jnp.arange(n)[:, None, None] + jnp.arange(2)[None, :, None]
+    cols = 2 * jnp.arange(n)[:, None, None] + jnp.arange(2)[None, None, :]
+    return out.at[rows, cols].set(R)
+
+
+def update_with_feature_positions(
+    state: FilterState,
+    cfg: VIOConfig,
+    measured_uv: jnp.ndarray,  # [N_max, 2] metric positions from the tracker
+    meas_cov: jnp.ndarray,     # [N_max, 2, 2] per-feature measurement covariance
+    passed: jnp.ndarray,       # [N_max] bool — tracker success (status + border)
+) -> FilterState:
+    """Masked EKF update (analog of TightlyCoupledEKF.cpp:475-628).
+
+    Features with ``passed=False`` contribute nothing (zero gain columns)
+    and are deactivated afterwards — the reference only sets a delete flag
+    (TightlyCoupledEKF.cpp:525-529) and never reclaims the slot; here the
+    slot is freed by the caller via ``drop_features``.
+
+    Runs at HIGHEST matmul precision: default MXU bf16 passes cannot hold
+    the covariance spectrum (1e-5..1e2) and NaN the filter on hardware.
+    """
+    return _update_f32(state, cfg, measured_uv, meas_cov, passed)
+
+
+@jax.default_matmul_precision("float32")
+def _update_f32(state, cfg, measured_uv, meas_cov, passed):
+    n = state.n_max
+    d = state.state_dim
+    uv_idx, _ = feature_rowcol_indices(n)
+
+    meas = passed & state.active                      # [N]
+    m = jnp.repeat(meas, 2).astype(state.Sigma.dtype)  # [2N]
+
+    mu = state.mu_flat()
+    z = measured_uv.reshape(-1)                       # [2N]
+    y = (z - mu[uv_idx]) * m
+
+    # ΣHᵀ via column gather; S via row gather of that.
+    A = state.Sigma[:, uv_idx]                        # [D, 2N]
+    S = A[uv_idx, :] + block_diag_R(meas_cov)         # [2N, 2N]
+
+    # Mask: unmeasured rows/cols collapse to the identity so the Cholesky
+    # stays well posed; corresponding gain columns are zeroed through A.
+    mm = m[:, None] * m[None, :]
+    S = S * mm + jnp.diag(1.0 - m)
+    if cfg.sigma_jitter:
+        S = S + cfg.sigma_jitter * jnp.eye(2 * n, dtype=S.dtype)
+    A = A * m[None, :]
+
+    chol = cho_factor(S, lower=True)
+    K = cho_solve(chol, A.T).T                        # [D, 2N]
+
+    mu = mu + K @ y
+
+    # Joseph form: (I − KH) via scatter of K into the uv columns.
+    KH = jnp.zeros((d, d), state.Sigma.dtype).at[:, uv_idx].set(K)
+    I_KH = jnp.eye(d, dtype=state.Sigma.dtype) - KH
+    R_full = block_diag_R(meas_cov) * mm
+    Sigma = I_KH @ state.Sigma @ I_KH.T + K @ R_full @ K.T
+    Sigma = 0.5 * (Sigma + Sigma.T)
+
+    # Quaternion renormalization (TightlyCoupledEKF.cpp:604-609).
+    qn = jnp.linalg.norm(mu[3:7])
+    mu = mu.at[3:7].divide(qn)
+
+    base_mu = mu[:BASE_STATE_SIZE]
+    feat_mu = mu[BASE_STATE_SIZE:].reshape(n, 3)
+
+    # Cache tracker results for measured features (Feature.h:43 semantics).
+    klt_ref = jnp.where(meas[:, None], measured_uv, state.klt_ref)
+
+    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Sigma, klt_ref=klt_ref)
+
+
+def innovation_stats(state: FilterState, measured_uv, passed):
+    """Mean innovation magnitude over measured features (observability)."""
+    n = state.n_max
+    uv_idx, _ = feature_rowcol_indices(n)
+    meas = passed & state.active
+    y = (measured_uv.reshape(-1) - state.mu_flat()[uv_idx]).reshape(n, 2)
+    mag = jnp.linalg.norm(y, axis=-1)
+    cnt = jnp.maximum(jnp.sum(meas), 1)
+    return jnp.sum(jnp.where(meas, mag, 0.0)) / cnt
