@@ -1,0 +1,133 @@
+"""Headline benchmark: frames/s of the full VIO pipeline on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: full-pipeline frames/s (pyramidal KLT track + FAST replenish +
+EKF predict/update) at the reference's default operating point — 640x480
+input processed at ÷4 scale with the 100-feature budget
+(reference: Params.h:28,46) on 128 feature slots.
+
+Baseline: the same faithful pipeline semantics on CPU via OpenCV
+(cv::calcOpticalFlowPyrLK + cv::FAST, the exact calls the reference makes,
+KLTTracker.cpp:61-64 / EKFVIO.cpp:242) + NumPy dense EKF — i.e. the
+reference algorithm on this host's CPU, since the reference publishes no
+numbers of its own (BASELINE.md).  The measured CPU value is cached in
+baseline_cpu.json; delete the file to re-measure.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, "baseline_cpu.json")
+
+W_IN, H_IN = 640, 480
+N_FRAMES = 60
+WARMUP = 2
+
+
+def make_frames(seed=0):
+    """Synthetic 640x480 sequence: textured plane, lateral camera motion."""
+    import scipy.ndimage as ndi
+
+    rng = np.random.RandomState(seed)
+    shift = 2.0  # px/frame at full res
+    big = rng.uniform(0, 255, (H_IN + 64, W_IN + 64 + int(shift * N_FRAMES) + 8))
+    big = ndi.gaussian_filter(big, 2.0)
+    big = (big - big.min()) / (np.ptp(big) + 1e-9) * 255.0
+    big = big.astype(np.float32)
+    frames = np.stack(
+        [big[32 : 32 + H_IN,
+             32 + int(round(shift * i)) : 32 + int(round(shift * i)) + W_IN]
+         for i in range(N_FRAMES)]
+    )
+    times = np.arange(N_FRAMES, dtype=np.float32) / 20.0  # 20 fps camera
+    return frames, times
+
+
+def bench_tpu(frames, times):
+    import jax
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu import engine
+    from ekf_vio_tpu.config import VIOConfig
+    from ekf_vio_tpu.frontend import camera as cam_mod
+
+    cfg = VIOConfig(max_features=128)
+    s = cfg.inverse_image_scale
+    w, h = W_IN // s, H_IN // s
+    cam = engine.make_hashable_camera(
+        [[458.0 / s, 0, w / 2], [0, 458.0 / s, h / 2], [0, 0, 1]], w, h)
+
+    imgs = jnp.asarray(frames)
+    imgs_small = jax.jit(lambda x: cam_mod.downscale_image(x, s))(imgs)
+    ts = jnp.asarray(times)
+
+    # compile with the exact benchmark shapes (scan length is baked in)
+    _, outs = engine.run_sequence(imgs_small, ts, cfg, cam)
+    jax.block_until_ready(outs)
+
+    t0 = time.time()
+    estate, outs = engine.run_sequence(imgs_small, ts, cfg, cam)
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    fps = (N_FRAMES - 1) / dt
+    tracked = np.asarray(outs.num_tracked)
+    assert np.isfinite(np.asarray(outs.base_mu)).all(), "TPU pipeline NaN"
+    assert tracked[5:].min() > 10, f"TPU pipeline lost tracking: {tracked}"
+    return fps
+
+
+def bench_cpu_reference(frames, times):
+    """Faithful CPU reimplementation of the reference pipeline: OpenCV
+    KLT/FAST (the reference's own calls) + dense NumPy EKF with the same
+    state layout and update equations."""
+    import cv2
+
+    from baselines.cpu_reference import CPUReferencePipeline
+
+    s = 4
+    small = [cv2.resize(f, (W_IN // s, H_IN // s)) for f in frames]
+    pipe = CPUReferencePipeline(
+        fx=458.0 / s, fy=458.0 / s, cx=W_IN / s / 2, cy=H_IN / s / 2,
+        num_features=100)
+    pipe.add_frame(small[0], float(times[0]))
+    t0 = time.time()
+    for f, t in zip(small[1:], times[1:]):
+        pipe.add_frame(f, float(t))
+    dt = time.time() - t0
+    return (len(small) - 1) / dt
+
+
+def main():
+    frames, times = make_frames()
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cpu_fps = json.load(f)["cpu_fps"]
+    else:
+        cpu_fps = bench_cpu_reference(frames, times)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_fps": cpu_fps, "note":
+                       "reference pipeline (OpenCV KLT/FAST + NumPy EKF) on host CPU"},
+                      f)
+
+    tpu_fps = bench_tpu(frames, times)
+
+    print(json.dumps({
+        "metric": "vio_pipeline_frames_per_s",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s (640x480 in, /4 processed, 100 features, 1 chip)",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

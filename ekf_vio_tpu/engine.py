@@ -1,0 +1,173 @@
+"""Engine: the per-frame VIO pipeline, scan-composable and jittable.
+
+Mirrors the reference orchestrator's per-frame flow
+(reference: EKFVIO.cpp:139-196 ``addFrame``):
+
+    predict(dt) → KLT track (seeded at EKF-predicted positions) →
+    masked EKF update → drop failed features → FAST replenishment
+
+re-expressed as one pure function ``step`` over an ``EngineState`` pytree,
+so a whole sequence is a single ``lax.scan`` (and a batch of sequences a
+``vmap`` over it — the reference's ROS-callback loop has no analog of
+either).  The first frame follows the reference's bootstrap path
+(EKFVIO.cpp:141-153): set the clock, replenish, no predict/update.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.core import filter as ekf
+from ekf_vio_tpu.frontend import camera as cam_mod
+from ekf_vio_tpu.frontend import klt, pyramid, replenish
+
+
+class EngineState(NamedTuple):
+    filt: ekf.FilterState
+    prev_pyr: tuple  # pyramid of the previous (processed-scale) frame
+
+
+class StepOutputs(NamedTuple):
+    base_mu: jnp.ndarray      # [22] pose/vel/omega/accel/biases
+    num_tracked: jnp.ndarray  # features that passed this frame
+    num_active: jnp.ndarray   # live features after replenishment
+    mean_innovation: jnp.ndarray
+    pose_cov_diag: jnp.ndarray  # [7] position+quaternion variance
+
+
+def _pose_cov_diag(filt: ekf.FilterState) -> jnp.ndarray:
+    return jnp.diag(filt.Sigma)[:7]
+
+
+def initialize(
+    img: jnp.ndarray, t: jnp.ndarray, cfg: VIOConfig, cam: cam_mod.CameraModel
+) -> EngineState:
+    """First-frame bootstrap (EKFVIO.cpp:141-153): start the filter clock
+    and detect the initial feature set."""
+    filt = ekf.init_state(cfg)
+    filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
+
+    px, valid = replenish.replenish(
+        img, jnp.zeros((cfg.max_features, 2)), jnp.zeros(cfg.max_features, bool),
+        cfg, cfg.max_features,
+    )
+    uv = cam_mod.pixel_to_metric(cam, px)
+    filt = ekf.add_features(filt, cfg, uv, valid)
+    # seed the tracker cache with the detected positions
+    filt = filt.replace(klt_ref=jnp.where(valid[:, None], uv, filt.klt_ref))
+
+    pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
+    return EngineState(filt=filt, prev_pyr=pyr)
+
+
+def step(
+    estate: EngineState,
+    img: jnp.ndarray,
+    t: jnp.ndarray,
+    cfg: VIOConfig,
+    cam: cam_mod.CameraModel,
+):
+    """One full frame (steady-state branch of addFrame, EKFVIO.cpp:154-173)."""
+    filt = estate.filt
+    dt = jnp.maximum(t - filt.t, 0.0)  # dt >= 0 assert (EKFVIO.cpp:162)
+
+    # --- predict (process, EKFVIO.cpp:163)
+    filt = ekf.predict(filt, cfg, dt)
+    filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
+
+    # --- track (updateStateWithNewImage, EKFVIO.cpp:207-219)
+    cur_pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
+    prev_px = cam_mod.metric_to_pixel(cam, filt.klt_ref)       # KLTTracker.cpp:53-55
+    seed_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])  # predicted seeds, :57-59
+    res = klt.track(estate.prev_pyr, cur_pyr, prev_px, seed_px, filt.active, cfg)
+
+    # border kill-pad rejection (KLTTracker.cpp:73)
+    passed = res.status & cam_mod.in_kill_box(cam, res.points, cfg.kill_pad)
+
+    # --- update
+    measured_uv = cam_mod.pixel_to_metric(cam, res.points)
+    meas_cov = klt.measurement_covariance_metric(cam.fx, cam.fy, cfg.max_features, cfg)
+    innov = ekf.innovation_stats(filt, measured_uv, passed)
+    filt = ekf.update_with_feature_positions(filt, cfg, measured_uv, meas_cov, passed)
+    num_tracked = jnp.sum((passed & filt.active).astype(jnp.int32))
+
+    # failed features free their slots (closing the reference's
+    # flag-but-never-erase gap, TightlyCoupledEKF.cpp:525-529)
+    filt = ekf.drop_features(filt, filt.active & ~passed)
+
+    # --- replenish (EKFVIO.cpp:224-311)
+    feat_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])
+    cand_px, cand_valid = replenish.replenish(
+        img, feat_px, filt.active, cfg, cfg.max_features
+    )
+    cand_uv = cam_mod.pixel_to_metric(cam, cand_px)
+    # add_features also seeds klt_ref for the new slots
+    filt = ekf.add_features(filt, cfg, cand_uv, cand_valid)
+
+    out = StepOutputs(
+        base_mu=filt.base_mu,
+        num_tracked=num_tracked,
+        num_active=filt.num_active(),
+        mean_innovation=innov,
+        pose_cov_diag=_pose_cov_diag(filt),
+    )
+    return EngineState(filt=filt, prev_pyr=cur_pyr), out
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def run_sequence(
+    images: jnp.ndarray,  # [T, H, W] processed-scale grayscale f32
+    times: jnp.ndarray,   # [T]
+    cfg: VIOConfig,
+    cam: cam_mod.CameraModel,
+):
+    """Whole-sequence rollout: bootstrap on frame 0, scan over the rest.
+
+    Returns (final EngineState, stacked StepOutputs for frames 1..T-1).
+    """
+    estate = initialize(images[0], times[0], cfg, cam)
+
+    def body(estate, inp):
+        img, t = inp
+        return step(estate, img, t, cfg, cam)
+
+    return jax.lax.scan(body, estate, (images[1:], times[1:]))
+
+
+def make_hashable_camera(K, width: int, height: int) -> "_StaticCamera":
+    """CameraModel with a hashable K for use as a static jit argument."""
+    import numpy as np
+
+    k = tuple(map(tuple, np.asarray(K, dtype=np.float32).tolist()))
+    return _StaticCamera(k, width, height)
+
+
+class _StaticCamera(NamedTuple):
+    """Hashable CameraModel stand-in (K stored as nested tuples)."""
+    K_tuple: tuple
+    width: int
+    height: int
+
+    @property
+    def K(self):
+        return jnp.asarray(self.K_tuple, jnp.float32)
+
+    @property
+    def fx(self):
+        return self.K_tuple[0][0]
+
+    @property
+    def fy(self):
+        return self.K_tuple[1][1]
+
+    @property
+    def cx(self):
+        return self.K_tuple[0][2]
+
+    @property
+    def cy(self):
+        return self.K_tuple[1][2]

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from ekf_vio_tpu.config import VIOConfig
-from ekf_vio_tpu.frontend import pyramid as pyr_mod
 
 
 class TrackResult(NamedTuple):
@@ -76,24 +75,107 @@ def _window_offsets(win: int) -> jnp.ndarray:
     return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)
 
 
-def _track_level(
-    prev_img, prev_ix, prev_iy, cur_img, q, g, valid, cfg: VIOConfig
-):
-    """One pyramid level of LK for all N features.
+# --------------------------------------------------------------------------
+# Gather-free sampling: one-hot matmul patch extraction + window resampling.
+#
+# TPU gathers are scalar-unit work; a 30-iteration LK loop over 128
+# features × 441 window pixels × 4 bilinear taps is ~7M random accesses
+# per level and measures ~150 ms/frame.  The TPU-native formulation
+# exploits two facts: (a) a patch is a row-selection × image × column-
+# selection product, and (b) an LK window moves *rigidly*, so one shared
+# fractional offset serves every pixel — bilinear resampling of the whole
+# window is exactly  W = Ry · patch · Cxᵀ  with Ry/Cx built from
+# interpolating one-hot rows.  Everything lands on the MXU; the iteration
+# loop contains no gathers at all.
+# --------------------------------------------------------------------------
+
+
+def _extract_patches(img: jnp.ndarray, anchor: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[N, p, p] integer-aligned patches via one-hot matmuls.
+
+    anchor: [N, 2] int32 top-left (x0, y0); rows/cols clamp-replicate at
+    the image border (the same border model as a padded pyramid).
+    """
+    h, w = img.shape
+    ar = jnp.arange(p)
+    ys = jnp.clip(anchor[:, 1, None] + ar[None], 0, h - 1)  # [N,p]
+    xs = jnp.clip(anchor[:, 0, None] + ar[None], 0, w - 1)
+    ry = jax.nn.one_hot(ys, h, dtype=img.dtype)             # [N,p,H]
+    cx = jax.nn.one_hot(xs, w, dtype=img.dtype)             # [N,p,W]
+    tmp = jnp.einsum("nph,hw->npw", ry, img)
+    return jnp.einsum("npw,nqw->npq", tmp, cx)
+
+
+def _lerp_selector(i0: jnp.ndarray, frac: jnp.ndarray, win: int, p: int, dtype):
+    """[N, win, p] bilinear row-selection matrices: row i interpolates
+    patch rows (i0+i, i0+i+1) with weight frac."""
+    idx = i0[:, None] + jnp.arange(win)[None]               # [N,win]
+    a = jax.nn.one_hot(jnp.clip(idx, 0, p - 1), p, dtype=dtype)
+    b = jax.nn.one_hot(jnp.clip(idx + 1, 0, p - 1), p, dtype=dtype)
+    f = frac[:, None, None]
+    return a * (1.0 - f) + b * f
+
+
+def _sample_windows(patch: jnp.ndarray, center: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Bilinear [N, win, win] windows centered at `center` (within-patch
+    float coords), as two small matmuls per feature."""
+    p = patch.shape[-1]
+    base = center - (win - 1) / 2.0
+    bx0 = jnp.floor(base[:, 0])
+    by0 = jnp.floor(base[:, 1])
+    ry = _lerp_selector(by0.astype(jnp.int32), base[:, 1] - by0, win, p, patch.dtype)
+    cx = _lerp_selector(bx0.astype(jnp.int32), base[:, 0] - bx0, win, p, patch.dtype)
+    tmp = jnp.einsum("nip,npq->niq", ry, patch)
+    return jnp.einsum("niq,njq->nij", tmp, cx)
+
+
+def _patch_gradients(patch: jnp.ndarray):
+    """Scharr gradients on [N, p, p] patches (smooth [3,10,3]/32 ⊗
+    derive [-1,0,1]), edge-replicated — dense VPU shifts, no convolution
+    over the full image."""
+    smooth = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
+    deriv = (-1.0, 0.0, 1.0)
+
+    def sep(x, ky, kx):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        x = sum(xp[:, i : i + x.shape[1], :] * ky[i] for i in range(3))
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        return sum(xp[:, :, i : i + x.shape[2]] * kx[i] for i in range(3))
+
+    return sep(patch, smooth, deriv), sep(patch, deriv, smooth)
+
+
+_SEARCH_MARGIN = 5  # px of in-patch search range per level beyond the seed
+
+
+def _track_level(prev_img, cur_img, q, g, valid, cfg: VIOConfig):
+    """One pyramid level of LK for all N features — gather-free.
 
     q: [N,2] feature positions in *this level's* prev image.
     g: [N,2] current guesses in this level's cur image.
-    Returns (g_new, min_eig, mean_abs_residual, in_bounds).
+    Returns (g_new, min_eig, mean_abs_residual, ok).
+
+    Per-level displacement beyond the incoming guess is bounded by the
+    patch search margin (coarse levels absorb large motion; each finer
+    level only refines) — a feature that runs off its patch is declared
+    lost, which subsumes the reference's track-failure status.
     """
     win = cfg.klt_window_size
-    offs = _window_offsets(win)  # [P,2]
-    h, w = prev_img.shape
     half = (win - 1) // 2
+    m = _SEARCH_MARGIN
+    p = win + 2 * m + 1  # +1 for the bilinear neighbor
+    h, w = prev_img.shape
+    n = q.shape[0]
 
-    pcoords = q[:, None, :] + offs[None]  # [N,P,2]
-    patch = sample_bilinear(prev_img, pcoords)
-    ix = sample_bilinear(prev_ix, pcoords)
-    iy = sample_bilinear(prev_iy, pcoords)
+    # template patch around the prev position
+    a0 = jnp.floor(q).astype(jnp.int32) - (half + m)
+    prev_patch = _extract_patches(prev_img, a0, p)
+    pix, piy = _patch_gradients(prev_patch)
+    c_prev = q - a0.astype(q.dtype)  # within-patch center (= half+m+frac)
+
+    template = _sample_windows(prev_patch, c_prev, win).reshape(n, -1)
+    ix = _sample_windows(pix, c_prev, win).reshape(n, -1)
+    iy = _sample_windows(piy, c_prev, win).reshape(n, -1)
 
     gxx = jnp.sum(ix * ix, axis=-1)
     gxy = jnp.sum(ix * iy, axis=-1)
@@ -107,21 +189,23 @@ def _track_level(
     det = gxx * gyy - gxy * gxy
     inv_ok = det > 1e-12
     det_safe = jnp.where(inv_ok, det, 1.0)
-    # inverse of G, guarded
     i00 = gyy / det_safe
     i01 = -gxy / det_safe
     i11 = gxx / det_safe
 
+    # search patch around the incoming guess in the current frame
+    g0 = g
+    c0 = jnp.floor(g0).astype(jnp.int32) - (half + m)
+    cur_patch = _extract_patches(cur_img, c0, p)
+    c0f = c0.astype(g.dtype)
+
     def body(carry):
         it, g, done = carry
-        ccoords = g[:, None, :] + offs[None]
-        cur = sample_bilinear(cur_img, ccoords)
-        r = patch - cur  # prev − cur
+        cur = _sample_windows(cur_patch, g - c0f, win).reshape(n, -1)
+        r = template - cur  # prev − cur
         bx = jnp.sum(r * ix, axis=-1)
         by = jnp.sum(r * iy, axis=-1)
-        dx = i00 * bx + i01 * by
-        dy = i01 * bx + i11 * by
-        delta = jnp.stack([dx, dy], axis=-1)
+        delta = jnp.stack([i00 * bx + i01 * by, i01 * bx + i11 * by], axis=-1)
         step_ok = valid & ~done & inv_ok
         g = g + jnp.where(step_ok[:, None], delta, 0.0)
         done = done | (jnp.sum(delta * delta, axis=-1) < cfg.klt_eps**2)
@@ -131,18 +215,17 @@ def _track_level(
         it, _, done = carry
         return (it < cfg.klt_iterations) & ~jnp.all(done | ~valid)
 
-    done0 = jnp.zeros(q.shape[0], bool)
+    done0 = jnp.zeros(n, bool)
     _, g, _ = jax.lax.while_loop(cond, body, (0, g, done0))
 
-    # residual error at convergence
-    cur = sample_bilinear(cur_img, g[:, None, :] + offs[None])
-    err = jnp.mean(jnp.abs(patch - cur), axis=-1)
+    cur = _sample_windows(cur_patch, g - c0f, win).reshape(n, -1)
+    err = jnp.mean(jnp.abs(template - cur), axis=-1)
 
-    # Track-loss test: the point itself must stay inside the level image
-    # (windows may overhang — sampling clamp-replicates, the same border
-    # model as OpenCV's padded pyramid).  The caller's kill-pad test
-    # (KLTTracker.cpp:73) is the real border gate.
-    del half
+    # lost if the point ran off its search patch, or left the level image
+    # (windows may overhang the image — sampling clamp-replicates, the
+    # same border model as OpenCV's padded pyramid; the caller's kill-pad
+    # test, KLTTracker.cpp:73, is the real border gate).
+    within_patch = jnp.all(jnp.abs(g - g0) <= m, axis=-1)
     in_bounds = (
         (g[:, 0] >= 1)
         & (g[:, 1] >= 1)
@@ -153,7 +236,7 @@ def _track_level(
         & (q[:, 0] < w - 2)
         & (q[:, 1] < h - 2)
     )
-    return g, min_eig, err, in_bounds & inv_ok
+    return g, min_eig, err, in_bounds & inv_ok & within_patch
 
 
 def track(
@@ -189,11 +272,8 @@ def track(
 
     for lvl in range(top, -1, -1):
         s = float(2**lvl)
-        prev_img = prev_pyr[lvl]
-        cur_img = cur_pyr[lvl]
-        ix, iy = pyr_mod.gradients(prev_img)
         q = prev_pts / s
-        g, min_eig, err, inb = _track_level(prev_img, ix, iy, cur_img, q, g, ok, cfg)
+        g, min_eig, err, inb = _track_level(prev_pyr[lvl], cur_pyr[lvl], q, g, ok, cfg)
         ok = ok & inb
         if lvl > 0:
             g = g * 2.0

@@ -1,0 +1,99 @@
+"""End-to-end engine test: full predict→track→update→replenish pipeline on
+a rendered synthetic sequence with known camera motion.
+
+A textured fronto-parallel plane at the default point depth (0.5 m —
+resolving the monocular scale ambiguity through the depth prior, exactly
+how the reference's defaults are tuned) is imaged by a camera translating
+laterally; the engine must track features and recover the trajectory.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekf_vio_tpu import engine
+from ekf_vio_tpu.config import VIOConfig
+
+W, H = 160, 120
+FX = FY = 100.0
+DEPTH = 0.5          # the DEFAULT_POINT_DEPTH prior -> metric scale resolved
+DT = 0.05
+SHIFT_PX = 1.0       # content shift per frame (leftward = camera moving +x)
+VX = DEPTH * SHIFT_PX / (FX * DT)  # 0.1 m/s
+
+
+def render_sequence(n_frames, seed=0):
+    """Crops of a big smooth texture sliding by SHIFT_PX per frame."""
+    rng = np.random.RandomState(seed)
+    big = rng.uniform(0, 255, (H + 40, W + 40 + int(SHIFT_PX * n_frames) + 8))
+    # smooth so gradients are wide enough for LK
+    import scipy.ndimage as ndi
+
+    big = ndi.gaussian_filter(big, 1.5).astype(np.float32)
+    # renormalize contrast so FAST fires
+    big = (big - big.min()) / (np.ptp(big) + 1e-9) * 255.0
+    frames = np.stack(
+        [big[20 : 20 + H, 20 + int(round(SHIFT_PX * i)) : 20 + int(round(SHIFT_PX * i)) + W]
+         for i in range(n_frames)]
+    )
+    times = np.arange(n_frames, dtype=np.float32) * DT
+    return jnp.asarray(frames), jnp.asarray(times)
+
+
+@pytest.fixture(scope="module")
+def rollout():
+    cfg = VIOConfig(max_features=64, num_features=40, fast_threshold=12,
+                    min_new_feature_dist=12.0)
+    cam = engine.make_hashable_camera(
+        [[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1]], W, H)
+    frames, times = render_sequence(30)
+    estate, outs = engine.run_sequence(frames, times, cfg, cam)
+    return cfg, estate, outs
+
+
+def test_runs_without_nan(rollout):
+    _, estate, outs = rollout
+    assert np.isfinite(np.asarray(outs.base_mu)).all()
+    assert np.isfinite(np.asarray(estate.filt.Sigma)).all()
+
+
+def test_tracks_features(rollout):
+    cfg, estate, outs = rollout
+    tracked = np.asarray(outs.num_tracked)
+    # after warmup most of the feature budget should track frame to frame
+    assert tracked[5:].min() >= cfg.num_features * 0.5, tracked
+    active = np.asarray(outs.num_active)
+    assert active[-1] >= cfg.num_features * 0.8
+
+
+def test_covariance_invariants(rollout):
+    _, estate, _ = rollout
+    from ekf_vio_tpu.core import filter as ekf
+
+    min_diag, asym = ekf.check_sigma(estate.filt)
+    assert float(min_diag) >= -1e-5
+    assert float(asym) < 1e-3
+
+
+def test_recovers_lateral_trajectory(rollout):
+    _, estate, outs = rollout
+    mu = np.asarray(outs.base_mu)
+    pos = mu[:, 0:3]
+    # camera should move in +x; final x ~ VX * total time (29 frames)
+    expect_x = VX * DT * 29
+    assert pos[-1, 0] > 0.5 * expect_x, (pos[-1], expect_x)
+    assert abs(pos[-1, 0] - expect_x) < 0.5 * expect_x, (pos[-1, 0], expect_x)
+    # y/z drift small relative to x travel
+    assert abs(pos[-1, 1]) < 0.5 * expect_x
+    assert abs(pos[-1, 2]) < 0.5 * expect_x
+    # velocity estimate in the right ballpark (body frame, x)
+    vel = mu[-1, 7:10]
+    assert abs(vel[0] - VX) < 0.6 * VX, vel
+
+
+def test_innovation_stays_small(rollout):
+    _, _, outs = rollout
+    innov = np.asarray(outs.mean_innovation)
+    # innovations in metric units; 1px ~ 0.01 here. After warmup they
+    # should settle below ~2px equivalent.
+    assert innov[5:].max() < 0.02, innov
