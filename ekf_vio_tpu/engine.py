@@ -70,13 +70,32 @@ def step(
     t: jnp.ndarray,
     cfg: VIOConfig,
     cam: cam_mod.CameraModel,
+    imu_batch=None,
+    gravity_w=None,
 ):
-    """One full frame (steady-state branch of addFrame, EKFVIO.cpp:154-173)."""
+    """One full frame (steady-state branch of addFrame, EKFVIO.cpp:154-173).
+
+    With ``imu_batch`` (an ImuSample pytree of this camera interval's
+    samples) the predict is the IMU strapdown propagation (mono-inertial
+    mode — the capability the reference never wired up); otherwise the
+    vision-driven random-walk process, matching reference behavior.
+    """
     filt = estate.filt
     dt = jnp.maximum(t - filt.t, 0.0)  # dt >= 0 assert (EKFVIO.cpp:162)
 
     # --- predict (process, EKFVIO.cpp:163)
-    filt = ekf.predict(filt, cfg, dt)
+    if imu_batch is not None:
+        from ekf_vio_tpu.core import imu as imu_mod
+
+        filt = imu_mod.propagate_imu_batch(filt, cfg, imu_batch, gravity_w)
+        # cover any remainder of the interval not spanned by IMU samples
+        rem = jnp.maximum(t - filt.t, 0.0)
+        filt = jax.tree.map(
+            lambda a, b: jnp.where(rem > 1e-6, b, a),
+            filt, ekf.predict(filt, cfg, rem),
+        )
+    else:
+        filt = ekf.predict(filt, cfg, dt)
     filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
 
     # --- track (updateStateWithNewImage, EKFVIO.cpp:207-219)
@@ -136,6 +155,33 @@ def run_sequence(
         return step(estate, img, t, cfg, cam)
 
     return jax.lax.scan(body, estate, (images[1:], times[1:]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def run_sequence_imu(
+    images: jnp.ndarray,   # [T, H, W]
+    times: jnp.ndarray,    # [T]
+    imu_dt: jnp.ndarray,   # [T-1, K] per-interval sample dts (0 = padding)
+    imu_gyro: jnp.ndarray,  # [T-1, K, 3]
+    imu_accel: jnp.ndarray,  # [T-1, K, 3]
+    gravity_w: jnp.ndarray,  # [3]
+    cfg: VIOConfig,
+    cam: cam_mod.CameraModel,
+):
+    """Mono-inertial rollout: IMU strapdown between frames, vision update
+    at frames (the full north-star pipeline)."""
+    from ekf_vio_tpu.core import imu as imu_mod
+
+    estate = initialize(images[0], times[0], cfg, cam)
+
+    def body(estate, inp):
+        img, t, dts, gy, ac = inp
+        batch = imu_mod.ImuSample(dt=dts, gyro=gy, accel=ac)
+        return step(estate, img, t, cfg, cam, imu_batch=batch,
+                    gravity_w=gravity_w)
+
+    return jax.lax.scan(
+        body, estate, (images[1:], times[1:], imu_dt, imu_gyro, imu_accel))
 
 
 def make_hashable_camera(K, width: int, height: int) -> "_StaticCamera":

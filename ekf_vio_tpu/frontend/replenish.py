@@ -95,7 +95,9 @@ def replenish(
     """Full replenishment: blur → FAST → NMS → spatial selection.
 
     needed = num_features − #active (EKFVIO.cpp:236-244)."""
+    from ekf_vio_tpu.frontend import pallas_fast
+
     work = fast.gaussian_blur(img, cfg.fast_blur_sigma)
-    score = fast.detect(work, cfg.fast_threshold, nms=True)
+    score = pallas_fast.detect(work, cfg.fast_threshold, nms=True)
     needed = cfg.num_features - jnp.sum(existing_valid.astype(jnp.int32))
     return select_candidates(score, existing_px, existing_valid, needed, cfg, k_max)

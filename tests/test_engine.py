@@ -97,3 +97,38 @@ def test_innovation_stays_small(rollout):
     # innovations in metric units; 1px ~ 0.01 here. After warmup they
     # should settle below ~2px equivalent.
     assert innov[5:].max() < 0.02, innov
+
+
+def test_mono_inertial_rollout():
+    """run_sequence_imu: IMU strapdown between frames + vision updates.
+
+    Constant-velocity lateral motion: gyro = 0, specific force = −g_w.
+    The IMU-driven filter must track the same trajectory with finite
+    covariance and small innovations."""
+    cfg = VIOConfig(max_features=64, num_features=40, fast_threshold=12,
+                    min_new_feature_dist=12.0, use_imu=True)
+    cam = engine.make_hashable_camera(
+        [[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1]], W, H)
+    n = 20
+    frames, times = render_sequence(n)
+    g_w = jnp.array([0.0, -9.81, 0.0])  # y-down camera world
+
+    k = 10
+    imu_dt = np.full((n - 1, k), DT / k, np.float32)
+    imu_gyro = np.zeros((n - 1, k, 3), np.float32)
+    imu_accel = np.tile(-np.asarray(g_w, np.float32), (n - 1, k, 1))
+
+    estate, outs = engine.run_sequence_imu(
+        frames, times, jnp.asarray(imu_dt), jnp.asarray(imu_gyro),
+        jnp.asarray(imu_accel), g_w, cfg, cam)
+
+    mu = np.asarray(outs.base_mu)
+    assert np.isfinite(mu).all()
+    assert np.asarray(outs.num_tracked)[5:].min() >= cfg.num_features * 0.5
+    from ekf_vio_tpu.core import filter as ekf
+
+    min_diag, asym = ekf.check_sigma(estate.filt)
+    assert float(min_diag) >= -1e-5 and float(asym) < 1e-3
+    # trajectory still recovered (scale from the depth prior)
+    expect_x = VX * DT * (n - 1)
+    assert abs(mu[-1, 0] - expect_x) < 0.6 * expect_x, (mu[-1, 0], expect_x)
