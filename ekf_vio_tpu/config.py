@@ -37,6 +37,9 @@ class VIOConfig:
     inverse_image_scale: int = 4     # D_INVERSE_IMAGE_SCALE (Params.h:28)
 
     # ---- feature initialization
+    triangulate_new_features: bool = False  # two-view depth init (the wired
+    #   version of the reference's offline octave/ solvers; off = reference
+    #   behavior of a constant depth prior)
     default_point_depth: float = 0.5           # D_DEFAULT_POINT_DEPTH (Params.h:83)
     default_point_depth_variance: float = 100.0  # D_DEFAULT_POINT_DEPTH_VARIANCE (Params.h:84)
     default_point_homogenous_variance: float = 1e-5  # (Params.h:86)

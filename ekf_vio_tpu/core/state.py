@@ -103,7 +103,8 @@ def feature_rowcol_indices(n_max: int):
 
 
 def add_features(
-    state: FilterState, cfg: VIOConfig, new_uv: jnp.ndarray, valid: jnp.ndarray
+    state: FilterState, cfg: VIOConfig, new_uv: jnp.ndarray, valid: jnp.ndarray,
+    depths: jnp.ndarray | None = None,
 ) -> FilterState:
     """Insert up to K new features into free slots.
 
@@ -117,6 +118,8 @@ def add_features(
     Args:
       new_uv: [K, 2] candidate normalized-metric positions.
       valid:  [K] bool — which candidates are real (static-shape padding).
+      depths: optional [K] per-candidate initial depths (triangulated —
+        see core/depth_init.py); defaults to the constant prior.
     """
     n = state.n_max
     k = new_uv.shape[0]
@@ -139,8 +142,12 @@ def add_features(
     # Guard: for rank r, cand_idx_of_rank[r] = index of the r-th valid candidate.
     src = cand_idx_of_rank[jnp.clip(free_rank, 0, k - 1)]     # [N]
 
-    rho0 = jnp.asarray(1.0 / cfg.default_point_depth, state.feat_mu.dtype)
-    new_mu = jnp.concatenate([new_uv[src], jnp.full((n, 1), rho0)], axis=-1)  # [N,3]
+    if depths is None:
+        rho = jnp.full((n, 1), 1.0 / cfg.default_point_depth,
+                       state.feat_mu.dtype)
+    else:
+        rho = (1.0 / jnp.clip(depths[src], 1e-3, 1e3))[:, None]
+    new_mu = jnp.concatenate([new_uv[src], rho], axis=-1)  # [N,3]
 
     feat_mu = jnp.where(take[:, None], new_mu, state.feat_mu)
     klt_ref = jnp.where(take[:, None], new_uv[src], state.klt_ref)

@@ -124,8 +124,23 @@ def step(
         img, feat_px, filt.active, cfg, cfg.max_features
     )
     cand_uv = cam_mod.pixel_to_metric(cam, cand_px)
+    depths = None
+    if cfg.triangulate_new_features:
+        # two-view depth init: track candidates back into the previous
+        # frame and triangulate against the filter's own frame-to-frame
+        # motion (core/depth_init.py; falls back to the prior without
+        # parallax)
+        from ekf_vio_tpu.core import depth_init
+
+        back = klt.track(cur_pyr, estate.prev_pyr, cand_px, cand_px,
+                         cand_valid, cfg)
+        h_prev = cam_mod.pixel_to_metric(cam, back.points)
+        z_cur, tri_ok = depth_init.triangulate_depths(
+            h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth)
+        depths = jnp.where(tri_ok & back.status, z_cur,
+                           cfg.default_point_depth)
     # add_features also seeds klt_ref for the new slots
-    filt = ekf.add_features(filt, cfg, cand_uv, cand_valid)
+    filt = ekf.add_features(filt, cfg, cand_uv, cand_valid, depths=depths)
 
     out = StepOutputs(
         base_mu=filt.base_mu,
