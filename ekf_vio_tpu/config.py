@@ -78,7 +78,14 @@ class VIOConfig:
 
     # ---- numerics
     dtype: Any = None                # resolved lazily to jnp.float32
-    sigma_jitter: float = 0.0        # optional diagonal jitter on S
+    sigma_jitter: float = 0.0        # optional absolute diagonal jitter on S
+    # Relative spectral floor on S: λ = sigma_jitter_rel · max(diag S).
+    # f32 formation of S = HΣHᵀ+R carries relative error ~ε·λmax, so
+    # eigenvalues below that are noise; flooring them equals inflating R
+    # (a conservative, consistency-preserving regularization).  Without it
+    # the TPU blocked Cholesky NaNs at ~100 features on the first update,
+    # where Σ's rank-9 kinematic block (init variance 30) dominates.
+    sigma_jitter_rel: float = 1e-4
 
     def __post_init__(self):
         # capacity bounds the target count

@@ -85,12 +85,20 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed):
     # stays well posed; corresponding gain columns are zeroed through A.
     mm = m[:, None] * m[None, :]
     S = S * mm + jnp.diag(1.0 - m)
-    if cfg.sigma_jitter:
-        S = S + cfg.sigma_jitter * jnp.eye(2 * n, dtype=S.dtype)
+    # Relative spectral floor (see VIOConfig.sigma_jitter_rel): the blocked
+    # f32 Cholesky cannot resolve eigenvalues below ~ε·λmax of S anyway —
+    # floor them, which statistically just inflates R.
+    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(jnp.diag(S) * m)
+    S = S + lam * jnp.eye(2 * n, dtype=S.dtype)
     A = A * m[None, :]
 
     chol = cho_factor(S, lower=True)
     K = cho_solve(chol, A.T).T                        # [D, 2N]
+    # NumericalIssue guard (TightlyCoupledEKF.cpp:579): if the factorization
+    # still failed, skip the update entirely — the predicted state is always
+    # consistent, a half-applied gain is not.
+    solve_ok = jnp.isfinite(K).all()
+    K = jnp.where(solve_ok, K, 0.0)
 
     mu = mu + K @ y
 

@@ -37,6 +37,7 @@ class StepOutputs(NamedTuple):
     num_active: jnp.ndarray   # live features after replenishment
     mean_innovation: jnp.ndarray
     pose_cov_diag: jnp.ndarray  # [7] position+quaternion variance
+    tracking_lost: jnp.ndarray  # bool — too few tracks or non-finite state
 
 
 def _pose_cov_diag(filt: ekf.FilterState) -> jnp.ndarray:
@@ -142,12 +143,20 @@ def step(
     # add_features also seeds klt_ref for the new slots
     filt = ekf.add_features(filt, cfg, cand_uv, cand_valid, depths=depths)
 
+    # failure detection: the reference declares a tracking_lost flag but
+    # never raises it (EKFVIO.h:55, logged at EKFVIO.cpp:192); here it is
+    # actually computed — too few surviving tracks or a non-finite state.
+    lost = (num_tracked < cfg.minimum_trackable_features) | ~jnp.isfinite(
+        filt.base_mu
+    ).all()
+
     out = StepOutputs(
         base_mu=filt.base_mu,
         num_tracked=num_tracked,
         num_active=filt.num_active(),
         mean_innovation=innov,
         pose_cov_diag=_pose_cov_diag(filt),
+        tracking_lost=lost,
     )
     return EngineState(filt=filt, prev_pyr=cur_pyr), out
 

@@ -109,7 +109,7 @@ def detect_pallas(img: jnp.ndarray, threshold: float, tile: int = _TILE,
                           h=h, w=w, tile=tile),
         grid=(grid,),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, wp), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

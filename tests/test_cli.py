@@ -1,0 +1,88 @@
+"""CLI entry point (the node-binary analog, reference: ekfvio_node.cpp)
+and the profiling utilities."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*argv):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "ekf_vio_tpu", *argv],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+
+
+def test_cli_info():
+    r = run_cli("info")
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout)
+    assert info["state_dim"] == 22 + 3 * 128
+    assert info["config"]["klt_window_size"] == 21
+
+
+def test_cli_info_with_profile():
+    r = run_cli("info", "--config", os.path.join(REPO, "configs", "test.yaml"))
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout)
+    assert info["config"]["num_features"] == 30  # params/test.yaml parity
+
+
+def test_cli_run_synthetic(tmp_path):
+    traj = tmp_path / "traj.tum"
+    ckpt = tmp_path / "state.npz"
+    r = run_cli("run", "--synthetic", "12", "--out", str(traj),
+                "--checkpoint", str(ckpt))
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout)
+    assert summary["frames"] == 12
+    assert summary["mean_tracked"] > 5
+    rows = np.loadtxt(traj)
+    assert rows.shape == (11, 8)
+    assert np.isfinite(rows).all()
+    assert ckpt.exists()
+
+
+def test_cli_run_streaming_insight(tmp_path):
+    insight = tmp_path / "insight"
+    r = run_cli("run", "--synthetic", "6", "--insight-dir", str(insight))
+    assert r.returncode == 0, r.stderr
+    pngs = sorted(insight.glob("*.png"))
+    assert len(pngs) == 5
+
+
+def test_cli_run_missing_euroc_errors():
+    r = run_cli("run", "--euroc", "NO_SUCH_SEQUENCE_XYZ")
+    assert r.returncode == 2
+    assert "not found" in r.stderr
+
+
+def test_frame_timer():
+    from ekf_vio_tpu.utils.profiling import FrameTimer
+
+    logs = []
+    ft = FrameTimer(log_every=2, log_fn=logs.append)
+    for _ in range(4):
+        with ft.frame():
+            pass
+    assert ft.count == 4
+    assert ft.fps > 0
+    assert len(logs) == 2 and "average dt" in logs[0]
+
+
+def test_device_timer():
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu.utils.profiling import device_timer
+
+    import jax
+
+    f = jax.jit(lambda x: x * 2.0)
+    t = device_timer(f, jnp.ones(8), warmup=1, iters=3)
+    assert t > 0
