@@ -29,18 +29,26 @@ sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, "baseline_cpu.json")
 
 W_IN, H_IN = 640, 480
-N_FRAMES = 60
+# enough frames that the one-off host dispatch (~35 ms through the remote
+# tunnel) amortizes; per-frame time is converged by T≈240
+N_FRAMES = 240
 WARMUP = 2
 
 
 def make_frames(seed=0):
-    """Synthetic 640x480 sequence: textured plane, lateral camera motion."""
+    """Synthetic 640x480 sequence: corner-rich blob texture, lateral
+    camera motion.  Thresholded blobs give FAST (both ours and the CPU
+    reference's cv::FAST) plenty of corners at the ÷4 processing scale —
+    a smooth-noise plane starves the detector and the run measures
+    tracking loss instead of throughput."""
     import scipy.ndimage as ndi
 
     rng = np.random.RandomState(seed)
     shift = 2.0  # px/frame at full res
-    big = rng.uniform(0, 255, (H_IN + 64, W_IN + 64 + int(shift * N_FRAMES) + 8))
-    big = ndi.gaussian_filter(big, 2.0)
+    shape = (H_IN + 64, W_IN + 64 + int(shift * N_FRAMES) + 8)
+    smooth = ndi.gaussian_filter(rng.uniform(0, 255, shape), 2.0)
+    blobs = (ndi.gaussian_filter(rng.uniform(0, 1, shape), 6.0) > 0.5) * 150.0
+    big = 0.4 * smooth + blobs + 30.0
     big = (big - big.min()) / (np.ptp(big) + 1e-9) * 255.0
     big = big.astype(np.float32)
     frames = np.stack(
@@ -60,7 +68,12 @@ def bench_tpu(frames, times):
     from ekf_vio_tpu.config import VIOConfig
     from ekf_vio_tpu.frontend import camera as cam_mod
 
-    cfg = VIOConfig(max_features=128)
+    # min_new_feature_dist: the reference default (30 px, Params.h:43) caps
+    # the feature count at ~20 on a 160x120 processed frame (the exclusion
+    # disks tile the image); 8 px actually exercises the 100-feature
+    # budget.  The CPU baseline runs the same setting.
+    cfg = VIOConfig(max_features=128, min_new_feature_dist=8.0,
+                    fast_threshold=30)
     s = cfg.inverse_image_scale
     w, h = W_IN // s, H_IN // s
     cam = engine.make_hashable_camera(
@@ -97,7 +110,7 @@ def bench_cpu_reference(frames, times):
     small = [cv2.resize(f, (W_IN // s, H_IN // s)) for f in frames]
     pipe = CPUReferencePipeline(
         fx=458.0 / s, fy=458.0 / s, cx=W_IN / s / 2, cy=H_IN / s / 2,
-        num_features=100)
+        num_features=100, min_dist=8.0, fast_threshold=30)
     pipe.add_frame(small[0], float(times[0]))
     t0 = time.time()
     for f, t in zip(small[1:], times[1:]):

@@ -196,10 +196,59 @@ class TestCovariancePropagation:
         cfg = VIOConfig(max_features=n)
         q = dynamics.process_noise_diag(dt, n, active, cfg)
 
-        got = dynamics.propagate_covariance(Sigma, Fb, Ffb, Ff, q)
-
         F = dynamics.build_dense_F(Fb, Ffb, Ff)
         want = F @ Sigma @ F.T + jnp.diag(q)
         want = 0.5 * (want + want.T)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-4, atol=1e-5)
+        for fn in (dynamics.propagate_covariance,
+                   dynamics.propagate_covariance_blocked):
+            got = fn(Sigma, Fb, Ffb, Ff, q)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestAnalyticTransportJacobians:
+    """The analytic action-space Jacobians (dynamics.transport_jacobians)
+    must match the per-feature autodiff ground truth exactly."""
+
+    def _state(self):
+        mu = jnp.zeros(22).at[3:7].set(lie.quat_normalize(
+            jnp.array([0.9, 0.1, -0.2, 0.3])))
+        mu = mu.at[7:10].set(jnp.array([0.3, -0.2, 0.5]))
+        mu = mu.at[10:13].set(jnp.array([0.4, -0.3, 0.2]))
+        mu = mu.at[13:16].set(jnp.array([0.1, 0.2, -0.4]))
+        feats = jnp.array([[0.1, -0.2, 2.0], [0.5, 0.4, 0.8],
+                           [-0.3, 0.0, 1.3], [0.0, 0.0, 2.0]])
+        return mu, feats
+
+    def test_blocks_match_autodiff(self):
+        mu, feats = self._state()
+        dt = jnp.float32(0.05)
+        Fb_a, Ffb_a, Ff_a = dynamics.process_jacobian_blocks(mu, feats, dt)
+        Fb_d, Ffb_d, Ff_d = dynamics.process_jacobian_blocks_autodiff(
+            mu, feats, dt)
+        np.testing.assert_allclose(np.asarray(Fb_a), np.asarray(Fb_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Ff_a), np.asarray(Ff_d),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Ffb_a), np.asarray(Ffb_d),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_transport_matches_convolve_feature(self):
+        mu, feats = self._state()
+        dt = jnp.float32(0.05)
+        qt = dynamics.camera_motion_qt(mu, dt)
+        f2, _, _ = dynamics.transport_jacobians(feats, qt)
+        f2_ref = dynamics.convolve_features(mu, feats, dt)
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f2_ref),
+                                   rtol=1e-5, atol=1e-6)
+        f2_qt = dynamics.transport_by_qt(feats, qt)
+        np.testing.assert_allclose(np.asarray(f2_qt), np.asarray(f2_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_rotate_jac_quat_matches_autodiff(self):
+        q = lie.quat_normalize(jnp.array([0.8, -0.2, 0.4, 0.1]))
+        p = jnp.array([[0.3, -0.5, 2.0], [1.0, 0.0, 0.5]])
+        J_a = np.asarray(dynamics._rotate_jac_quat(q, p))
+        J_d = np.asarray(jax.vmap(
+            lambda pp: jax.jacfwd(lambda qq: lie.quat_rotate(qq, pp))(q))(p))
+        np.testing.assert_allclose(J_a, J_d, rtol=1e-5, atol=1e-6)
