@@ -103,6 +103,9 @@ def main():
     v = jnp.ones(128, bool)
     f = jax.jit(lambda a, b, p: klt.track(a, b, p, p, v, cfg))
     report["klt_640x480_128feat"] = timeit(f, pa, pb, pts)
+    cfg_xla = cfg.replace(use_pallas_klt=False)
+    fx = jax.jit(lambda a, b, p: klt.track(a, b, p, p, v, cfg_xla))
+    report["klt_640x480_128feat_xla"] = timeit(fx, pa, pb, pts)
 
     # --- FAST 640x480: fused-XLA vs Pallas
     x = jnp.asarray(img)

@@ -32,6 +32,8 @@ class VIOConfig:
     klt_eps: float = 0.01            # TermCriteria EPS (KLTTracker.cpp:64)
     klt_min_eigen: float = 1e-4      # D_KLT_MIN_EIGEN (Params.h:36)
     kill_pad: int = 11               # D_KILL_PAD (Params.h:33)
+    use_pallas_klt: bool = True      # fused Pallas level kernel on TPU
+    #   (large-enough levels only; XLA path covers the rest / CPU)
 
     # ---- image handling
     inverse_image_scale: int = 4     # D_INVERSE_IMAGE_SCALE (Params.h:28)

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.frontend import pallas_klt
 
 
 class TrackResult(NamedTuple):
@@ -90,20 +91,30 @@ def _window_offsets(win: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _extract_patches(img: jnp.ndarray, anchor: jnp.ndarray, p: int) -> jnp.ndarray:
+def _extract_patches(img: jnp.ndarray, anchor: jnp.ndarray, p: int,
+                     sample_dtype=jnp.bfloat16) -> jnp.ndarray:
     """[N, p, p] integer-aligned patches via one-hot matmuls.
 
     anchor: [N, 2] int32 top-left (x0, y0); rows/cols clamp-replicate at
     the image border (the same border model as a padded pyramid).
+
+    These image-height/width-sized matmuls are the dominant FLOPs of the
+    tracker; they run at ``sample_dtype`` (default bf16 — 3x the f32 MXU
+    rate).  One-hot selectors are *exact* in bf16 and 8-bit-origin image
+    intensities round to bf16 within 0.5/255, so the extracted patch is
+    the bf16-rounded image — selection, not arithmetic, happens here.
+    The subsequent LK normal equations stay in f32.
     """
     h, w = img.shape
     ar = jnp.arange(p)
     ys = jnp.clip(anchor[:, 1, None] + ar[None], 0, h - 1)  # [N,p]
     xs = jnp.clip(anchor[:, 0, None] + ar[None], 0, w - 1)
-    ry = jax.nn.one_hot(ys, h, dtype=img.dtype)             # [N,p,H]
-    cx = jax.nn.one_hot(xs, w, dtype=img.dtype)             # [N,p,W]
-    tmp = jnp.einsum("nph,hw->npw", ry, img)
-    return jnp.einsum("npw,nqw->npq", tmp, cx)
+    ry = jax.nn.one_hot(ys, h, dtype=sample_dtype)          # [N,p,H]
+    cx = jax.nn.one_hot(xs, w, dtype=sample_dtype)          # [N,p,W]
+    tmp = jnp.einsum("nph,hw->npw", ry, img.astype(sample_dtype),
+                     preferred_element_type=sample_dtype)
+    return jnp.einsum("npw,nqw->npq", tmp, cx,
+                      preferred_element_type=jnp.float32)
 
 
 def _lerp_selector(i0: jnp.ndarray, frac: jnp.ndarray, win: int, p: int, dtype):
@@ -270,18 +281,36 @@ def track(
     min_eig0 = jnp.zeros(prev_pts.shape[0])
     err0 = jnp.zeros(prev_pts.shape[0])
 
+    # On TPU, full-resolution pyramids run the fused Pallas level kernel
+    # (one kernel per level vs. dozens of XLA dispatches — 1.7 -> 1.1 ms
+    # on a 640x480 4-level track).  For small pyramids (the ÷4 default
+    # operating point) the XLA path fuses well and wins; the crossover is
+    # the base level's area (~64k px, measured).
+    use_pallas = (cfg.use_pallas_klt and jax.default_backend() == "tpu"
+                  and prev_pyr[0].shape[0] * prev_pyr[0].shape[1] >= 64 * 1024)
+
     for lvl in range(top, -1, -1):
         s = float(2**lvl)
         q = prev_pts / s
-        g, min_eig, err, inb = _track_level(prev_pyr[lvl], cur_pyr[lvl], q, g, ok, cfg)
+        if use_pallas and pallas_klt.supported(prev_pyr[lvl].shape, q.shape[0]):
+            g, min_eig, err, inb = pallas_klt.track_level_pallas(
+                prev_pyr[lvl], cur_pyr[lvl], q, g, ok,
+                win=win, iters=cfg.klt_iterations, eps=cfg.klt_eps,
+                # the eigen gate applies at level 0 only (the XLA path's
+                # status semantics); disable it at coarse levels
+                min_eigen=cfg.klt_min_eigen if lvl == 0 else -1.0)
+        else:
+            g, min_eig, err, inb = _track_level(
+                prev_pyr[lvl], cur_pyr[lvl], q, g, ok, cfg)
+            if lvl == 0:
+                inb = inb & (min_eig > cfg.klt_min_eigen)
         ok = ok & inb
         if lvl > 0:
             g = g * 2.0
         else:
             min_eig0, err0 = min_eig, err
 
-    status = ok & (min_eig0 > cfg.klt_min_eigen)
-    return TrackResult(points=g, status=status, error=err0, min_eig=min_eig0)
+    return TrackResult(points=g, status=ok, error=err0, min_eig=min_eig0)
 
 
 def measurement_covariance_metric(cam_fx, cam_fy, n: int, cfg: VIOConfig):
