@@ -1,0 +1,54 @@
+"""End-to-end trajectory-accuracy benchmark on the rendered sequence.
+
+Stands in for the EuRoC ATE evaluation in this zero-egress environment
+(BASELINE.json config 3): a textured-plane scene with an exact analytic
+trajectory and IMU stream (sim/rendered.py) run through the FULL stack
+(pyramid → FAST → KLT → EKF), scored with Umeyama-aligned ATE RMSE
+(io/trajectory.py — the standard monocular protocol).
+
+Writes benchmarks/ate.json.  Run on hardware: python benchmarks/ate_bench.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ekf_vio_tpu.config import VIOConfig  # noqa: E402
+from ekf_vio_tpu.sim import rendered  # noqa: E402
+
+
+def main():
+    import jax
+
+    seq = rendered.generate(num_frames=300)
+    path_len = float(np.sum(np.linalg.norm(np.diff(seq.gt_pos, axis=0), axis=1)))
+    cfg = VIOConfig(max_features=128, min_new_feature_dist=10.0,
+                    fast_threshold=25, triangulate_new_features=True,
+                    klt_measurement_variance_px=0.05)
+
+    report = {"device": str(jax.devices()[0]),
+              "sequence": "rendered plane, 300 frames @20fps, 320x240",
+              "path_length_m": round(path_len, 3)}
+    for name, use_imu in (("mono_inertial", True), ("vision_only", False)):
+        t0 = time.time()
+        ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=use_imu)
+        report[f"{name}_ate_rmse_m"] = round(float(ate), 5)
+        report[f"{name}_ate_pct_path"] = round(100 * float(ate) / path_len, 3)
+        report[f"{name}_mean_tracked"] = round(
+            float(np.mean(np.asarray(outs.num_tracked))), 1)
+        report[f"{name}_wall_s"] = round(time.time() - t0, 1)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ate.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

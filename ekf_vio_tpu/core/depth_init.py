@@ -88,13 +88,17 @@ def refine_depth_gn(h1, h2, R, t, z0, iters: int = 5):
 
 
 def triangulate_depths(h_prev, h_cur, base_mu, dt, default_depth: float,
-                       refine: bool = True):
+                       refine: bool = True, Rt=None):
     """Frame-*current* depths for new features seen in both frames.
 
     Returns (z_cur [N], used_triangulation [N]): triangulated where
     well-conditioned (with parallax), the prior default elsewhere —
-    matching the reference's fallback (TightlyCoupledEKF.cpp:78-79)."""
-    R, t = relative_motion(base_mu, dt)
+    matching the reference's fallback (TightlyCoupledEKF.cpp:78-79).
+
+    Rt, when given, is the exact inter-frame camera motion (R, t) —
+    mandatory under IMU propagation, where the dt·vel reconstruction of
+    ``relative_motion`` does not describe the actual baseline."""
+    R, t = Rt if Rt is not None else relative_motion(base_mu, dt)
     z1, ok = linear_depth(h_prev, h_cur, R, t)
     z1 = jnp.where(ok, z1, default_depth)
     if refine:

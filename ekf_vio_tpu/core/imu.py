@@ -211,12 +211,23 @@ _transport_jac_qt = jax.vmap(jax.jacfwd(_compound_transport, argnums=1),
                              in_axes=(0, None))
 
 
-@jax.default_matmul_precision("float32")
 def propagate_imu_batch(state: FilterState, cfg: VIOConfig, batch: ImuSample,
                         gravity_w) -> FilterState:
     """Propagate a camera interval's IMU samples ([K] leading dim;
     zero-dt rows are padding and become no-ops) with one covariance
     propagation for the whole interval (see block comment above)."""
+    state, _ = propagate_imu_batch_with_motion(state, cfg, batch, gravity_w)
+    return state
+
+
+@jax.default_matmul_precision("float32")
+def propagate_imu_batch_with_motion(state: FilterState, cfg: VIOConfig,
+                                    batch: ImuSample, gravity_w):
+    """As propagate_imu_batch, also returning the compound camera motion
+    qt = [qc(4), tc(3)] of the interval (p_cur = R(qc) p_prev + tc) — the
+    exact inter-frame baseline, needed e.g. by two-view depth
+    triangulation (the dt·vel reconstruction the vision-only mode uses is
+    wrong under IMU propagation)."""
     nb = BASE_STATE_SIZE
     dtype = state.Sigma.dtype
     psd = imu_noise_psd(cfg).astype(dtype)
@@ -286,7 +297,7 @@ def propagate_imu_batch(state: FilterState, cfg: VIOConfig, batch: ImuSample,
     feat_mu = jnp.where(state.active[:, None], new_feat, state.feat_mu)
 
     return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Sigma,
-                         t=state.t + total_dt)
+                         t=state.t + total_dt), qt
 
 
 def estimate_gravity_world(accel_samples: jnp.ndarray, g: float = 9.81):

@@ -29,6 +29,7 @@ from ekf_vio_tpu.frontend import klt, pyramid, replenish
 class EngineState(NamedTuple):
     filt: ekf.FilterState
     prev_pyr: tuple  # pyramid of the previous (processed-scale) frame
+    frame_idx: jnp.ndarray = jnp.int32(0)  # frames processed so far
 
 
 class StepOutputs(NamedTuple):
@@ -62,7 +63,7 @@ def initialize(
     filt = filt.replace(klt_ref=jnp.where(valid[:, None], uv, filt.klt_ref))
 
     pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
-    return EngineState(filt=filt, prev_pyr=pyr)
+    return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(1))
 
 
 def step(
@@ -85,10 +86,12 @@ def step(
     dt = jnp.maximum(t - filt.t, 0.0)  # dt >= 0 assert (EKFVIO.cpp:162)
 
     # --- predict (process, EKFVIO.cpp:163)
+    frame_qt = None  # exact inter-frame camera motion (IMU mode)
     if imu_batch is not None:
         from ekf_vio_tpu.core import imu as imu_mod
 
-        filt = imu_mod.propagate_imu_batch(filt, cfg, imu_batch, gravity_w)
+        filt, frame_qt = imu_mod.propagate_imu_batch_with_motion(
+            filt, cfg, imu_batch, gravity_w)
         # cover any remainder of the interval not spanned by IMU samples
         rem = jnp.maximum(t - filt.t, 0.0)
         filt = jax.tree.map(
@@ -110,6 +113,30 @@ def step(
 
     # --- update
     measured_uv = cam_mod.pixel_to_metric(cam, res.points)
+
+    if imu_batch is not None and cfg.triangulate_new_features:
+        # Depth bootstrap: with an IMU the metric scale is observable, so
+        # features still carrying the arbitrary depth prior distort the
+        # trajectory while the filter drags them to true scale.  Any
+        # feature whose depth variance still sits at the uninformed prior
+        # gets its depth mean re-initialized by two-view triangulation
+        # against the exact IMU-integrated baseline, as soon as parallax
+        # makes the triangulation well-conditioned.  (Replacing an
+        # uninformed prior mean, variance untouched — consistency-safe.)
+        from ekf_vio_tpu.core import depth_init, lie
+        from ekf_vio_tpu.core.state import feature_rowcol_indices
+
+        Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
+        z_boot, tri_ok = depth_init.triangulate_depths(
+            filt.klt_ref, measured_uv, filt.base_mu, dt,
+            cfg.default_point_depth, Rt=Rt)
+        rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
+        depth_var = jnp.diag(filt.Sigma)[rho_idx]
+        uninformed = depth_var > 0.5 * cfg.default_point_depth_variance
+        boot = uninformed & tri_ok & passed & filt.active
+        rho = jnp.where(boot, 1.0 / z_boot, filt.feat_mu[:, 2])
+        filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(rho))
+
     meas_cov = klt.measurement_covariance_metric(cam.fx, cam.fy, cfg.max_features, cfg)
     innov = ekf.innovation_stats(filt, measured_uv, passed)
     filt = ekf.update_with_feature_positions(filt, cfg, measured_uv, meas_cov, passed)
@@ -131,13 +158,17 @@ def step(
         # frame and triangulate against the filter's own frame-to-frame
         # motion (core/depth_init.py; falls back to the prior without
         # parallax)
-        from ekf_vio_tpu.core import depth_init
+        from ekf_vio_tpu.core import depth_init, lie
 
         back = klt.track(cur_pyr, estate.prev_pyr, cand_px, cand_px,
                          cand_valid, cfg)
         h_prev = cam_mod.pixel_to_metric(cam, back.points)
+        Rt = None
+        if frame_qt is not None:  # exact IMU-integrated baseline
+            Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
         z_cur, tri_ok = depth_init.triangulate_depths(
-            h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth)
+            h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth,
+            Rt=Rt)
         depths = jnp.where(tri_ok & back.status, z_cur,
                            cfg.default_point_depth)
     # add_features also seeds klt_ref for the new slots
@@ -158,7 +189,8 @@ def step(
         pose_cov_diag=_pose_cov_diag(filt),
         tracking_lost=lost,
     )
-    return EngineState(filt=filt, prev_pyr=cur_pyr), out
+    return EngineState(filt=filt, prev_pyr=cur_pyr,
+                       frame_idx=estate.frame_idx + 1), out
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam"))

@@ -1,0 +1,203 @@
+"""Rendered end-to-end VIO benchmark: images + IMU + ground truth.
+
+The reference's closed-loop harness feeds perfect feature projections
+straight into the filter (reference: test/analyzeEKFSimulation.cpp:101-125,
+bypassing the image pipeline).  This module renders an actual image
+sequence — a textured plane under a smooth 6-DoF camera trajectory — and
+generates the matching IMU stream analytically, so the WHOLE stack
+(pyramid → FAST → KLT → EKF with IMU strapdown → trajectory) can be
+scored with an ATE number against exact ground truth.  It stands in for
+the EuRoC evaluation in this zero-egress environment (same protocol:
+mono-inertial, Umeyama-aligned ATE; io/trajectory.py).
+
+Geometry: world frame = initial camera frame (z forward, x right,
+y down).  A textured plane sits at z = plane_depth.  The camera
+translates laterally/vertically with small sinusoidal motion and yaws
+slightly; the view of the plane is an exact homography, rendered by
+inverse warping with bilinear sampling (pure NumPy, host-side).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class RenderedSequence(NamedTuple):
+    frames: np.ndarray     # [T, H, W] f32 images
+    times: np.ndarray      # [T]
+    K: np.ndarray          # [3, 3]
+    gt_pos: np.ndarray     # [T, 3] camera position (world)
+    gt_quat: np.ndarray    # [T, 4] camera orientation (w, x, y, z)
+    imu_dt: np.ndarray     # [T-1, S]
+    imu_gyro: np.ndarray   # [T-1, S, 3] body rate (rad/s)
+    imu_accel: np.ndarray  # [T-1, S, 3] specific force (m/s²)
+    gravity_w: np.ndarray  # [3]
+
+
+def _rot_yaw_pitch(yaw, pitch):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rp = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    return Ry @ Rp
+
+
+class _Trajectory:
+    """Smooth analytic 6-DoF trajectory with exact derivatives.
+
+    Starts at REST (p=v=0, ω=0 at t=0) via 1−cos profiles — the standard
+    VIO protocol (EuRoC sequences begin stationary); a mid-motion cold
+    start leaves the initial velocity unobservable to the filter."""
+
+    def __init__(self, amp=(0.13, 0.06, 0.04), freq=(0.45, 0.3, 0.2),
+                 yaw_amp=0.04, yaw_freq=0.35, pitch_amp=0.02, pitch_freq=0.25):
+        self.amp = np.asarray(amp)
+        self.w = 2 * np.pi * np.asarray(freq)
+        self.ya, self.yw = yaw_amp, 2 * np.pi * yaw_freq
+        self.pa, self.pw = pitch_amp, 2 * np.pi * pitch_freq
+
+    def pos(self, t):
+        return self.amp * (1.0 - np.cos(self.w * t))
+
+    def vel(self, t):
+        return self.amp * self.w * np.sin(self.w * t)
+
+    def acc(self, t):
+        return self.amp * self.w**2 * np.cos(self.w * t)
+
+    def R(self, t):  # world <- body
+        return _rot_yaw_pitch(self.ya * (1.0 - np.cos(self.yw * t)),
+                              self.pa * (1.0 - np.cos(self.pw * t)))
+
+    def omega_body(self, t, eps=1e-5):
+        """Body rate from the exact R via central difference of R (the
+        rotation is a composition of two sinusoidal elementary rotations;
+        a numerical vee at 1e-5 s is exact to ~1e-9)."""
+        R0 = self.R(t - eps)
+        R1 = self.R(t + eps)
+        W = self.R(t).T @ ((R1 - R0) / (2 * eps))
+        return np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0],
+                         W[1, 0] - W[0, 1]]) / 2.0
+
+
+def _make_texture(size=2048, seed=0):
+    import scipy.ndimage as ndi
+
+    rng = np.random.RandomState(seed)
+    smooth = ndi.gaussian_filter(rng.uniform(0, 255, (size, size)), 2.0)
+    blobs = (ndi.gaussian_filter(rng.uniform(0, 1, (size, size)), 8.0) > 0.5)
+    tex = 0.45 * smooth + 140.0 * blobs + 25.0
+    return (255 * (tex - tex.min()) / np.ptp(tex)).astype(np.float32)
+
+
+def _render(tex, K, R, p, plane_depth, tex_scale, h, w):
+    """Inverse-warp the plane texture into the camera: for each pixel,
+    intersect the ray with the plane z = plane_depth (world) and sample
+    the texture bilinearly."""
+    Kinv = np.linalg.inv(K)
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    rays = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w)], 0)  # [3, HW]
+    d_w = R @ (Kinv @ rays)                    # ray directions in world
+    lam = (plane_depth - p[2]) / d_w[2]        # intersection with plane
+    pts = p[:, None] + lam * d_w               # [3, HW] world points
+    # texture coords: plane x/y mapped at tex_scale px per meter, centered
+    tx = pts[0] * tex_scale + tex.shape[1] / 2
+    ty = pts[1] * tex_scale + tex.shape[0] / 2
+    x0 = np.clip(np.floor(tx).astype(int), 0, tex.shape[1] - 2)
+    y0 = np.clip(np.floor(ty).astype(int), 0, tex.shape[0] - 2)
+    fx = np.clip(tx - x0, 0, 1)
+    fy = np.clip(ty - y0, 0, 1)
+    v = (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x0 + 1] * fx * (1 - fy)
+         + tex[y0 + 1, x0] * (1 - fx) * fy + tex[y0 + 1, x0 + 1] * fx * fy)
+    return v.reshape(h, w).astype(np.float32)
+
+
+def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
+             f=260.0, plane_depth=2.0, seed=0, gyro_noise=1.7e-4,
+             accel_noise=2.0e-3, gyro_bias=(0.002, -0.001, 0.003),
+             accel_bias=(0.02, -0.015, 0.01)) -> RenderedSequence:
+    """Render a sequence with consistent images, IMU and ground truth.
+
+    Gravity points along +y of the initial camera frame (camera y-down,
+    roughly level) so the accelerometer carries the usual ~1 g signal."""
+    from ekf_vio_tpu.core import lie  # for quat conversion parity
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed + 7)
+    traj = _Trajectory()
+    tex = _make_texture(seed=seed)
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    g_w = np.array([0.0, 9.81, 0.0])
+
+    times = np.arange(num_frames) / fps
+    frames = np.stack([
+        _render(tex, K, traj.R(t), traj.pos(t), plane_depth,
+                tex_scale=640.0, h=h, w=w)
+        for t in times
+    ])
+    gt_pos = np.stack([traj.pos(t) for t in times])
+    gt_quat = np.stack([_mat_to_quat(traj.R(t)) for t in times])
+
+    # IMU stream between frames, with noise and constant biases
+    spf = int(round(imu_rate / fps))           # samples per frame interval
+    dt_s = 1.0 / imu_rate
+    imu_dt = np.full((num_frames - 1, spf), dt_s, np.float32)
+    gyro = np.zeros((num_frames - 1, spf, 3), np.float32)
+    accel = np.zeros((num_frames - 1, spf, 3), np.float32)
+    bg = np.asarray(gyro_bias)
+    ba = np.asarray(accel_bias)
+    for i in range(num_frames - 1):
+        for s in range(spf):
+            t = times[i] + (s + 0.5) * dt_s
+            R = traj.R(t)
+            gyro[i, s] = (traj.omega_body(t) + bg
+                          + gyro_noise * np.sqrt(imu_rate) * rng.randn(3))
+            accel[i, s] = (R.T @ (traj.acc(t) - (-g_w)) + ba
+                           + accel_noise * np.sqrt(imu_rate) * rng.randn(3))
+    # specific force f = a − g (accelerometer measures a − g; at rest,
+    # a=0 → f = −g: pointing opposite gravity)
+    return RenderedSequence(frames=frames, times=times.astype(np.float32),
+                            K=K, gt_pos=gt_pos.astype(np.float32),
+                            gt_quat=gt_quat.astype(np.float32),
+                            imu_dt=imu_dt, imu_gyro=gyro, imu_accel=accel,
+                            gravity_w=(-g_w).astype(np.float32))
+
+
+def _mat_to_quat(R):
+    """Rotation matrix -> quaternion [w, x, y, z]."""
+    w = np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 0.0)) / 2.0
+    if w < 1e-8:  # not reachable for the small-angle trajectories here
+        raise ValueError("degenerate quaternion")
+    x = (R[2, 1] - R[1, 2]) / (4 * w)
+    y = (R[0, 2] - R[2, 0]) / (4 * w)
+    z = (R[1, 0] - R[0, 1]) / (4 * w)
+    return np.array([w, x, y, z])
+
+
+def evaluate_ate(seq: RenderedSequence, cfg=None, use_imu=True):
+    """Run the full VIO engine on the rendered sequence; return
+    (ate_rmse_m, outputs) with Umeyama-aligned (scaled) ATE."""
+    import jax
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu import engine
+    from ekf_vio_tpu.config import VIOConfig
+    from ekf_vio_tpu.io.trajectory import ate_rmse
+
+    cfg = cfg or VIOConfig(max_features=128, min_new_feature_dist=10.0,
+                           fast_threshold=25, triangulate_new_features=True)
+    h, w = seq.frames.shape[1:]
+    cam = engine.make_hashable_camera(seq.K, w, h)
+    imgs = jnp.asarray(seq.frames)
+    ts = jnp.asarray(seq.times)
+    if use_imu:
+        estate, outs = engine.run_sequence_imu(
+            imgs, ts, jnp.asarray(seq.imu_dt), jnp.asarray(seq.imu_gyro),
+            jnp.asarray(seq.imu_accel), jnp.asarray(seq.gravity_w), cfg, cam)
+    else:
+        estate, outs = engine.run_sequence(imgs, ts, cfg, cam)
+    jax.block_until_ready(outs)
+    p_est = np.asarray(outs.base_mu)[:, 0:3]
+    ate = ate_rmse(seq.times[1:], p_est, seq.times, seq.gt_pos)
+    return ate, outs

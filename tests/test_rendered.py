@@ -1,0 +1,64 @@
+"""Rendered end-to-end benchmark scene: geometry consistency + a full
+(small) VIO run through images -> tracking -> filter -> ATE."""
+import numpy as np
+import pytest
+
+from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.sim import rendered
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return rendered.generate(num_frames=16, w=192, h=144, f=160.0)
+
+
+def test_sequence_shapes(seq):
+    assert seq.frames.shape == (16, 144, 192)
+    assert np.isfinite(seq.frames).all()
+    assert np.ptp(seq.frames) > 100  # textured
+    assert seq.imu_dt.shape[0] == 15
+    assert np.allclose(seq.gt_pos[0], 0.0)
+    assert np.allclose(seq.gt_quat[0], [1, 0, 0, 0])
+
+
+def test_imu_stream_consistent_with_trajectory(seq):
+    """Noise-free strapdown of the generated IMU must reproduce the
+    analytic ground truth (validates signs/frames/gravity conventions)."""
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu.core import imu as imu_mod
+
+    clean = rendered.generate(num_frames=10, w=64, h=48, gyro_noise=0.0,
+                              accel_noise=0.0, gyro_bias=(0, 0, 0),
+                              accel_bias=(0, 0, 0))
+    mu = jnp.zeros(22).at[3].set(1.0)
+    for i in range(clean.imu_dt.shape[0]):
+        for s in range(clean.imu_dt.shape[1]):
+            mu = imu_mod.convolve_base_imu(
+                mu, jnp.asarray(clean.imu_gyro[i, s]),
+                jnp.asarray(clean.imu_accel[i, s]),
+                float(clean.imu_dt[i, s]), jnp.asarray(clean.gravity_w))
+    np.testing.assert_allclose(np.asarray(mu[0:3]), clean.gt_pos[-1],
+                               atol=2e-3)
+
+
+def test_full_vio_on_rendered_images(seq):
+    """Whole stack on real (rendered) images: tracks features, stays
+    finite, recovers the trajectory to loose tolerance on 16 frames."""
+    cfg = VIOConfig(max_features=64, min_new_feature_dist=8.0,
+                    fast_threshold=20, triangulate_new_features=True)
+    ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=False)
+    tracked = np.asarray(outs.num_tracked)
+    assert tracked[3:].min() > 10
+    assert not np.asarray(outs.tracking_lost).any()
+    assert np.isfinite(np.asarray(outs.base_mu)).all()
+    assert ate < 0.05  # meters, 16-frame vision-only run
+
+
+def test_full_vio_imu_mode_runs(seq):
+    cfg = VIOConfig(max_features=64, min_new_feature_dist=8.0,
+                    fast_threshold=20, triangulate_new_features=True,
+                    klt_measurement_variance_px=0.05)
+    ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=True)
+    assert np.isfinite(np.asarray(outs.base_mu)).all()
+    assert ate < 0.2
