@@ -113,15 +113,19 @@ def cmd_run(args) -> int:
             timer = FrameTimer()
             with timer.frame():
                 if imu is not None:
-                    g = jnp.array([0.0, 0.0, -cfg.gravity])
+                    from ekf_vio_tpu.core.imu import estimate_gravity_world
+
+                    g = estimate_gravity_world(jnp.asarray(imu[2][0]))
                     estate, outs = engine.run_sequence_imu(
                         imgs, ts, jnp.asarray(imu[0]), jnp.asarray(imu[1]),
-                        jnp.asarray(imu[2]), g, cfg, cam)
+                        jnp.asarray(imu[2]), g, cfg, cam,
+                        init_frames=cfg.vi_init_frames)
                 else:
                     estate, outs = engine.run_sequence(imgs, ts, cfg, cam)
                 jax.block_until_ready(outs)
             fps = (len(times) - 1) / timer.total_s
 
+    start = max(cfg.vi_init_frames, 1) if imu is not None else 1
     base = np.asarray(outs.base_mu)
     summary.update(
         frames=int(len(times)),
@@ -137,12 +141,12 @@ def cmd_run(args) -> int:
 
         try:
             summary["ate_rmse_m"] = round(
-                ate_rmse(times[1:], base[:, :3], gt[0], gt[1]), 4)
+                ate_rmse(times[start:], base[:, :3], gt[0], gt[1]), 4)
         except ValueError as e:
             summary["ate_rmse_m"] = f"unavailable ({e})"
 
     if args.out:
-        _write_tum(args.out, times[1:], base)
+        _write_tum(args.out, times[start:], base)
         summary["trajectory"] = args.out
     if args.checkpoint:
         from ekf_vio_tpu.io.checkpoint import save_npz

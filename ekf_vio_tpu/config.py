@@ -42,6 +42,15 @@ class VIOConfig:
     triangulate_new_features: bool = False  # two-view depth init (the wired
     #   version of the reference's offline octave/ solvers; off = reference
     #   behavior of a constant depth prior)
+    # IMU-mode depth bootstrap: young features re-initialize depth (mean +
+    # variance) from two-view triangulation against the exact IMU baseline
+    # once parallax appears — prevents the metric-scale transient of a
+    # wrong depth prior from poisoning the velocity estimate.
+    bootstrap_max_age: int = 20          # frames a feature stays eligible
+    bootstrap_depth_sigma_rel: float = 0.25  # re-init σ_ρ = rel · ρ
+    # closed-form visual-inertial alignment (core/vi_init.py)
+    vi_init_frames: int = 10             # frames consumed by the initializer
+    init_aligned_velocity_variance: float = 1e-2  # post-alignment vel var
     default_point_depth: float = 0.5           # D_DEFAULT_POINT_DEPTH (Params.h:83)
     default_point_depth_variance: float = 100.0  # D_DEFAULT_POINT_DEPTH_VARIANCE (Params.h:84)
     default_point_homogenous_variance: float = 1e-5  # (Params.h:86)

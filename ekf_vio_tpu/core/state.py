@@ -26,7 +26,8 @@ from ekf_vio_tpu.config import BASE_STATE_SIZE, VIOConfig
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["base_mu", "feat_mu", "active", "klt_ref", "Sigma", "t"],
+    data_fields=["base_mu", "feat_mu", "active", "klt_ref", "Sigma", "t",
+                 "age"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -37,6 +38,7 @@ class FilterState:
     klt_ref: jnp.ndarray  # [N_max, 2]  last tracker result (metric), Feature.h:43
     Sigma: jnp.ndarray    # [D, D] dense covariance
     t: jnp.ndarray        # scalar f64-as-f32 time (seconds)
+    age: jnp.ndarray      # [N_max] int32 — frames since slot allocation
 
     @property
     def n_max(self) -> int:
@@ -91,6 +93,7 @@ def init_state(cfg: VIOConfig, t0: float = 0.0, dtype=jnp.float32) -> FilterStat
         klt_ref=jnp.zeros((n, 2), dtype),
         Sigma=jnp.diag(sig_diag),
         t=jnp.asarray(t0, dtype),
+        age=jnp.zeros((n,), jnp.int32),
     )
 
 
@@ -174,7 +177,9 @@ def add_features(
     diag = jnp.diag(Sigma)
     Sigma = Sigma.at[uvr, uvr].set(jnp.where(take3, prior, diag[uvr]))
 
-    return state.replace(feat_mu=feat_mu, active=active, klt_ref=klt_ref, Sigma=Sigma)
+    age = jnp.where(take, 0, state.age)
+    return state.replace(feat_mu=feat_mu, active=active, klt_ref=klt_ref,
+                         Sigma=Sigma, age=age)
 
 
 def drop_features(state: FilterState, drop: jnp.ndarray) -> FilterState:

@@ -83,6 +83,7 @@ def step(
     vision-driven random-walk process, matching reference behavior.
     """
     filt = estate.filt
+    filt = filt.replace(age=jnp.where(filt.active, filt.age + 1, 0))
     dt = jnp.maximum(t - filt.t, 0.0)  # dt >= 0 assert (EKFVIO.cpp:162)
 
     # --- predict (process, EKFVIO.cpp:163)
@@ -116,26 +117,34 @@ def step(
 
     if imu_batch is not None and cfg.triangulate_new_features:
         # Depth bootstrap: with an IMU the metric scale is observable, so
-        # features still carrying the arbitrary depth prior distort the
-        # trajectory while the filter drags them to true scale.  Any
-        # feature whose depth variance still sits at the uninformed prior
-        # gets its depth mean re-initialized by two-view triangulation
-        # against the exact IMU-integrated baseline, as soon as parallax
-        # makes the triangulation well-conditioned.  (Replacing an
-        # uninformed prior mean, variance untouched — consistency-safe.)
+        # features carrying a wrong depth prior pull the velocity estimate
+        # off while the filter drags them to true scale (a ~10x
+        # trajectory-error multiplier, measured).  Young features whose
+        # triangulated depth (against the exact IMU-integrated baseline)
+        # disagrees with their estimate get depth mean AND variance
+        # re-initialized — a consistent re-init: the ρ row/col of Σ is
+        # wiped, like a fresh slot with an informed prior.
         from ekf_vio_tpu.core import depth_init, lie
-        from ekf_vio_tpu.core.state import feature_rowcol_indices
 
         Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
         z_boot, tri_ok = depth_init.triangulate_depths(
             filt.klt_ref, measured_uv, filt.base_mu, dt,
             cfg.default_point_depth, Rt=Rt)
+        rho_new = 1.0 / z_boot
+        sig_tri = cfg.bootstrap_depth_sigma_rel * rho_new
+        disagrees = jnp.abs(rho_new - filt.feat_mu[:, 2]) > sig_tri
+        boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & passed
+                & filt.active & disagrees)
+
+        rho = jnp.where(boot, rho_new, filt.feat_mu[:, 2])
         rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
-        depth_var = jnp.diag(filt.Sigma)[rho_idx]
-        uninformed = depth_var > 0.5 * cfg.default_point_depth_variance
-        boot = uninformed & tri_ok & passed & filt.active
-        rho = jnp.where(boot, 1.0 / z_boot, filt.feat_mu[:, 2])
-        filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(rho))
+        m = jnp.zeros((filt.state_dim,), bool).at[rho_idx].set(boot)
+        Sigma = jnp.where(m[:, None] | m[None, :], 0.0, filt.Sigma)
+        diag = jnp.diag(Sigma)[rho_idx]
+        Sigma = Sigma.at[rho_idx, rho_idx].set(
+            jnp.where(boot, sig_tri * sig_tri, diag))
+        filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(rho),
+                            Sigma=Sigma)
 
     meas_cov = klt.measurement_covariance_metric(cam.fx, cam.fy, cfg.max_features, cfg)
     innov = ekf.innovation_stats(filt, measured_uv, passed)
@@ -213,7 +222,79 @@ def run_sequence(
     return jax.lax.scan(body, estate, (images[1:], times[1:]))
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam"))
+def initialize_imu(
+    images, times, imu_dt, imu_gyro, imu_accel, gravity_w,
+    cfg: VIOConfig, cam: cam_mod.CameraModel, init_frames: int,
+) -> EngineState:
+    """Closed-form visual-inertial initialization over the first
+    ``init_frames`` frames (core/vi_init.py), producing an EngineState at
+    frame init_frames-1 with a metric velocity and metrically-consistent
+    feature depths.  Without it, wrong-depth features drag the velocity
+    estimate within a few frames of a cold start (a ~10x trajectory-error
+    multiplier on the rendered benchmark).
+
+    The world frame is frame 0's camera frame; the (small) IMU-integration
+    pose uncertainty at frame init_frames-1 is absorbed into the anchored
+    pose gauge."""
+    from ekf_vio_tpu.core import vi_init
+
+    k = init_frames
+
+    # frame-0 detection + chained tracking through frames 1..K-1
+    px, valid = replenish.replenish(
+        images[0], jnp.zeros((cfg.max_features, 2)),
+        jnp.zeros(cfg.max_features, bool), cfg, cfg.max_features)
+    pyr = pyramid.build_pyramid(images[0], cfg.klt_max_pyramid_level)
+    h_list = [cam_mod.pixel_to_metric(cam, px)]
+    valid_list = [valid]
+    for i in range(1, k):
+        pyr_i = pyramid.build_pyramid(images[i], cfg.klt_max_pyramid_level)
+        res = klt.track(pyr, pyr_i, px, px, valid, cfg)
+        valid = valid & res.status & cam_mod.in_kill_box(
+            cam, res.points, cfg.kill_pad)
+        px = res.points
+        h_list.append(cam_mod.pixel_to_metric(cam, px))
+        valid_list.append(valid)
+        pyr = pyr_i
+    h_obs = jnp.stack(h_list)          # [K, N, 2]
+    valid_obs = jnp.stack(valid_list)  # [K, N]
+
+    # IMU integration + joint (v0, depths) alignment
+    R_i, tc_i, tau, _ = vi_init.integrate_motion(
+        times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
+        gravity_w)
+    res_a = vi_init.align(h_obs, valid_obs, R_i, tc_i, tau)
+    _, _, _, base22 = vi_init.integrate_motion(
+        times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
+        gravity_w, v0=res_a.v0_world)
+
+    # aligned features expressed in frame K-1
+    tK = tc_i[k - 1] - tau[k - 1] * (R_i[k - 1] @ res_a.v0_world)
+    h0 = jnp.concatenate([h_obs[0], jnp.ones((cfg.max_features, 1))], -1)
+    pK = (jnp.einsum("ab,nb->na", R_i[k - 1], h0)
+          * res_a.depths0[:, None] + tK)
+    keep = valid_obs[k - 1] & res_a.depth_ok & (pK[:, 2] > 0.02)
+
+    filt = ekf.init_state(cfg)
+    filt = filt.replace(base_mu=base22,
+                        t=jnp.asarray(times[k - 1], filt.t.dtype))
+    filt = ekf.add_features(filt, cfg, h_obs[k - 1], keep, depths=pK[:, 2])
+
+    # tightened post-alignment variances: velocity is solved (not a 30-σ²
+    # guess), aligned depths carry a relative sigma instead of the prior
+    d = jnp.diag(filt.Sigma)
+    d = d.at[7:10].set(cfg.init_aligned_velocity_variance)
+    rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
+    sig_rho = cfg.bootstrap_depth_sigma_rel * filt.feat_mu[:, 2]
+    d = d.at[rho_idx].set(jnp.where(filt.active, sig_rho * sig_rho,
+                                    d[rho_idx]))
+    idx = jnp.arange(filt.state_dim)
+    filt = filt.replace(Sigma=filt.Sigma.at[idx, idx].set(d))
+
+    return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(k))
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "init_frames"))
 def run_sequence_imu(
     images: jnp.ndarray,   # [T, H, W]
     times: jnp.ndarray,    # [T]
@@ -223,12 +304,22 @@ def run_sequence_imu(
     gravity_w: jnp.ndarray,  # [3]
     cfg: VIOConfig,
     cam: cam_mod.CameraModel,
+    init_frames: int = 0,
 ):
     """Mono-inertial rollout: IMU strapdown between frames, vision update
-    at frames (the full north-star pipeline)."""
+    at frames (the full north-star pipeline).
+
+    With init_frames > 0 the first frames run the closed-form
+    visual-inertial alignment (initialize_imu) before filtering starts."""
     from ekf_vio_tpu.core import imu as imu_mod
 
-    estate = initialize(images[0], times[0], cfg, cam)
+    if init_frames > 1:
+        estate = initialize_imu(images, times, imu_dt, imu_gyro, imu_accel,
+                                gravity_w, cfg, cam, init_frames)
+        start = init_frames
+    else:
+        estate = initialize(images[0], times[0], cfg, cam)
+        start = 1
 
     def body(estate, inp):
         img, t, dts, gy, ac = inp
@@ -237,7 +328,9 @@ def run_sequence_imu(
                     gravity_w=gravity_w)
 
     return jax.lax.scan(
-        body, estate, (images[1:], times[1:], imu_dt, imu_gyro, imu_accel))
+        body, estate,
+        (images[start:], times[start:], imu_dt[start - 1:],
+         imu_gyro[start - 1:], imu_accel[start - 1:]))
 
 
 def make_hashable_camera(K, width: int, height: int) -> "_StaticCamera":

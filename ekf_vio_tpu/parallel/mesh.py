@@ -52,6 +52,7 @@ def filter_state_shardings(mesh: Mesh, batched: bool = True):
         klt_ref=s(None, None),
         Sigma=s(None, "state"),
         t=s(),
+        age=s(None),
     )
 
 

@@ -194,10 +194,12 @@ def evaluate_ate(seq: RenderedSequence, cfg=None, use_imu=True):
     if use_imu:
         estate, outs = engine.run_sequence_imu(
             imgs, ts, jnp.asarray(seq.imu_dt), jnp.asarray(seq.imu_gyro),
-            jnp.asarray(seq.imu_accel), jnp.asarray(seq.gravity_w), cfg, cam)
+            jnp.asarray(seq.imu_accel), jnp.asarray(seq.gravity_w), cfg, cam,
+            init_frames=cfg.vi_init_frames)
     else:
         estate, outs = engine.run_sequence(imgs, ts, cfg, cam)
     jax.block_until_ready(outs)
+    start = max(cfg.vi_init_frames, 1) if use_imu else 1
     p_est = np.asarray(outs.base_mu)[:, 0:3]
-    ate = ate_rmse(seq.times[1:], p_est, seq.times, seq.gt_pos)
+    ate = ate_rmse(seq.times[start:], p_est, seq.times, seq.gt_pos)
     return ate, outs
