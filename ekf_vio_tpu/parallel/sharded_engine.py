@@ -1,0 +1,162 @@
+"""State-sharded per-frame VIO pipeline: the FULL engine step with Σ
+block-partitioned over a device mesh.
+
+The image front-end (pyramid build, KLT, FAST replenishment) is replicated
+— it is O(HW) work on data every device already holds — while every
+O(D²)-and-up covariance product runs on Σ row/column blocks via the
+explicit shard_map ops in parallel/sharded_filter.py.  This realizes
+BASELINE.json config 5 (256+ feature states, block-partitioned covariance
+update over ICI collectives) for the *whole* per-frame pipeline, not just
+an isolated filter step; parity with the unsharded engine.step is asserted
+in tests/test_sharded_filter.py.
+
+Mirrors engine.step frame flow (reference: EKFVIO.cpp:139-196).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ekf_vio_tpu import engine
+from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.core import filter as ekf
+from ekf_vio_tpu.frontend import camera as cam_mod
+from ekf_vio_tpu.frontend import klt, pyramid, replenish
+from ekf_vio_tpu.parallel import sharded_filter as sf
+
+
+class ShardedEngineState(NamedTuple):
+    filt: sf.ShardedFilterState
+    prev_pyr: tuple
+    frame_idx: jnp.ndarray = jnp.int32(0)
+
+
+def initialize(img, t, cfg: VIOConfig, cam, mesh: Mesh) -> ShardedEngineState:
+    """First-frame bootstrap, then split + place Σ on the mesh."""
+    estate = engine.initialize(img, t, cfg, cam)
+    filt = jax.device_put(sf.split_state(estate.filt),
+                          sf.state_shardings(mesh))
+    return ShardedEngineState(filt=filt, prev_pyr=estate.prev_pyr,
+                              frame_idx=estate.frame_idx)
+
+
+def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
+         mesh: Mesh, imu_batch=None, gravity_w=None):
+    """One full frame on the sharded state (analog of engine.step)."""
+    filt = estate.filt
+    filt = filt.replace(age=jnp.where(filt.active, filt.age + 1, 0))
+    dt = jnp.maximum(t - filt.t, 0.0)
+
+    # --- predict
+    frame_qt = None
+    if imu_batch is not None:
+        filt, frame_qt = sf.sharded_propagate_imu_batch(
+            filt, cfg, imu_batch, gravity_w, mesh)
+        rem = jnp.maximum(t - filt.t, 0.0)
+        filt = jax.tree.map(
+            lambda a, b: jnp.where(rem > 1e-6, b, a),
+            filt, sf.sharded_predict(filt, cfg, rem, mesh))
+    else:
+        filt = sf.sharded_predict(filt, cfg, dt, mesh)
+    filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
+
+    # --- track (replicated front-end)
+    cur_pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
+    prev_px = cam_mod.metric_to_pixel(cam, filt.klt_ref)
+    seed_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])
+    res = klt.track(estate.prev_pyr, cur_pyr, prev_px, seed_px, filt.active,
+                    cfg)
+    passed = res.status & cam_mod.in_kill_box(cam, res.points, cfg.kill_pad)
+    measured_uv = cam_mod.pixel_to_metric(cam, res.points)
+
+    if imu_batch is not None and cfg.triangulate_new_features:
+        # depth bootstrap (engine.step's re-init of young wrong-depth
+        # features): wipe ρ rows/cols of Σ and set the triangulated prior
+        from ekf_vio_tpu.core import depth_init, lie
+
+        Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
+        z_boot, tri_ok = depth_init.triangulate_depths(
+            filt.klt_ref, measured_uv, filt.base_mu, dt,
+            cfg.default_point_depth, Rt=Rt)
+        rho_new = 1.0 / z_boot
+        sig_tri = cfg.bootstrap_depth_sigma_rel * rho_new
+        disagrees = jnp.abs(rho_new - filt.feat_mu[:, 2]) > sig_tri
+        boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & passed
+                & filt.active & disagrees)
+
+        n = cfg.max_features
+        wipe3 = jnp.zeros((3 * n,), bool).at[3 * jnp.arange(n) + 2].set(boot)
+        diag3 = jnp.zeros((3 * n,), filt.bb.dtype).at[
+            3 * jnp.arange(n) + 2].set(jnp.where(boot, sig_tri * sig_tri, 0.0))
+        filt = sf.sigma_slot_reset(filt, wipe3, diag3, mesh)
+        filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(
+            jnp.where(boot, rho_new, filt.feat_mu[:, 2])))
+
+    # --- update
+    meas_cov = klt.measurement_covariance_metric(cam.fx, cam.fy,
+                                                 cfg.max_features, cfg)
+    innov = _innovation(filt, measured_uv, passed)
+    filt = sf.sharded_update(filt, cfg, measured_uv, meas_cov, passed, mesh)
+    num_tracked = jnp.sum((passed & filt.active).astype(jnp.int32))
+    filt = sf.sharded_drop_features(filt, filt.active & ~passed, mesh)
+
+    # --- replenish
+    feat_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])
+    cand_px, cand_valid = replenish.replenish(
+        img, feat_px, filt.active, cfg, cfg.max_features)
+    cand_uv = cam_mod.pixel_to_metric(cam, cand_px)
+    depths = None
+    if cfg.triangulate_new_features:
+        from ekf_vio_tpu.core import depth_init, lie
+
+        back = klt.track(cur_pyr, estate.prev_pyr, cand_px, cand_px,
+                         cand_valid, cfg)
+        h_prev = cam_mod.pixel_to_metric(cam, back.points)
+        Rt = None
+        if frame_qt is not None:
+            Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
+        z_cur, tri_ok = depth_init.triangulate_depths(
+            h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth,
+            Rt=Rt)
+        depths = jnp.where(tri_ok & back.status, z_cur,
+                           cfg.default_point_depth)
+    filt = sf.sharded_add_features(filt, cfg, cand_uv, cand_valid, mesh,
+                                   depths=depths)
+
+    lost = (num_tracked < cfg.minimum_trackable_features) | ~jnp.isfinite(
+        filt.base_mu).all()
+
+    out = engine.StepOutputs(
+        base_mu=filt.base_mu,
+        num_tracked=num_tracked,
+        num_active=jnp.sum(filt.active.astype(jnp.int32)),
+        mean_innovation=innov,
+        pose_cov_diag=jnp.diag(filt.bb)[:7],
+        tracking_lost=lost,
+    )
+    return ShardedEngineState(filt=filt, prev_pyr=cur_pyr,
+                              frame_idx=estate.frame_idx + 1), out
+
+
+def _innovation(filt: sf.ShardedFilterState, measured_uv, passed):
+    meas = passed & filt.active
+    y = measured_uv - filt.feat_mu[:, :2]
+    mag = jnp.linalg.norm(y, axis=-1)
+    cnt = jnp.maximum(jnp.sum(meas), 1)
+    return jnp.sum(jnp.where(meas, mag, 0.0)) / cnt
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "mesh"))
+def run_sequence(images, times, cfg: VIOConfig, cam, mesh: Mesh):
+    """Whole-sequence rollout with the state-sharded step."""
+    estate = initialize(images[0], times[0], cfg, cam, mesh)
+
+    def body(estate, inp):
+        img, t = inp
+        return step(estate, img, t, cfg, cam, mesh)
+
+    return jax.lax.scan(body, estate, (images[1:], times[1:]))

@@ -1,0 +1,220 @@
+"""Distributed (shard_map) filter: numeric parity with the dense path and
+hard evidence that the compiled computation is actually partitioned.
+
+Parity targets the exact dense implementations in core/ (same jitter,
+masking, Joseph form), so tolerances are f32 reassociation noise only.
+Evidence = collective ops present in the optimized HLO and per-shard
+Σ blocks strictly smaller than the replicated covariance.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.core import filter as ekf
+from ekf_vio_tpu.core import imu as imu_mod
+from ekf_vio_tpu.parallel import evidence
+from ekf_vio_tpu.parallel import sharded_filter as sf
+
+NS = 4  # state-axis size used throughout
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return jax.sharding.Mesh(np.array(jax.devices()[:NS]), ("state",))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return VIOConfig(max_features=sf.aligned_feature_capacity(14, NS))
+
+
+@pytest.fixture(scope="module")
+def dense_state(cfg):
+    """A dense FilterState with real cross-correlations (two filter steps)."""
+    st = ekf.init_state(cfg)
+    uv = jax.random.uniform(jax.random.PRNGKey(0), (cfg.max_features, 2),
+                            minval=-1.0, maxval=1.0)
+    valid = jnp.arange(cfg.max_features) < 12
+    st = jax.jit(ekf.add_features, static_argnums=1)(st, cfg, uv, valid)
+    mc = jnp.tile(jnp.eye(2) * 1e-5, (cfg.max_features, 1, 1))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def pu(st, cfg):
+        st = ekf.predict(st, cfg, 0.05)
+        z = st.feat_mu[:, :2] + 0.003
+        return ekf.update_with_feature_positions(st, cfg, z, mc, st.active)
+
+    for _ in range(2):
+        st = pu(st, cfg)
+    return st
+
+
+def place(st, mesh):
+    return jax.device_put(sf.split_state(st), sf.state_shardings(mesh))
+
+
+def test_split_merge_roundtrip(dense_state, mesh):
+    back = sf.merge_state(sf.split_state(dense_state))
+    np.testing.assert_array_equal(np.asarray(back.Sigma),
+                                  np.asarray(dense_state.Sigma))
+    # merge symmetrizes bf/fb by construction
+    S = np.asarray(back.Sigma)
+    np.testing.assert_array_equal(S, S.T)
+
+
+def test_sharded_predict_parity(dense_state, cfg, mesh):
+    d = jax.jit(ekf.predict, static_argnums=1)(dense_state, cfg, 0.05)
+    s = jax.jit(sf.sharded_predict, static_argnums=(1, 3))(
+        place(dense_state, mesh), cfg, 0.05, mesh)
+    m = sf.merge_state(s)
+    np.testing.assert_allclose(np.asarray(m.base_mu), np.asarray(d.base_mu),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.Sigma), np.asarray(d.Sigma),
+                               atol=2e-5)
+
+
+def test_sharded_update_parity_partial_measurements(dense_state, cfg, mesh):
+    mc = jnp.tile(jnp.eye(2) * 1e-5, (cfg.max_features, 1, 1))
+    passed = (jnp.arange(cfg.max_features) % 3 != 0) & dense_state.active
+    z = dense_state.feat_mu[:, :2] + 0.01
+    d = jax.jit(ekf.update_with_feature_positions, static_argnums=1)(
+        dense_state, cfg, z, mc, passed)
+    s = jax.jit(sf.sharded_update, static_argnums=(1, 5))(
+        place(dense_state, mesh), cfg, z, mc, passed, mesh)
+    m = sf.merge_state(s)
+    np.testing.assert_allclose(np.asarray(m.base_mu), np.asarray(d.base_mu),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m.feat_mu), np.asarray(d.feat_mu),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m.Sigma), np.asarray(d.Sigma),
+                               atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(m.klt_ref),
+                                  np.asarray(d.klt_ref))
+
+
+def test_sharded_drop_and_add_parity(dense_state, cfg, mesh):
+    drop = jnp.arange(cfg.max_features) % 5 == 0
+    dd = jax.jit(ekf.drop_features)(dense_state, drop)
+    sd = sf.merge_state(jax.jit(sf.sharded_drop_features, static_argnums=2)(
+        place(dense_state, mesh), drop, mesh))
+    np.testing.assert_allclose(np.asarray(sd.Sigma), np.asarray(dd.Sigma),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(sd.active), np.asarray(dd.active))
+
+    new_uv = jax.random.uniform(jax.random.PRNGKey(2), (cfg.max_features, 2),
+                                minval=-1.0, maxval=1.0)
+    nvalid = jnp.arange(cfg.max_features) < 5
+    depths = jnp.full((cfg.max_features,), 0.8)
+    da = jax.jit(ekf.add_features, static_argnums=1)(
+        dd, cfg, new_uv, nvalid, depths=depths)
+    sa = sf.merge_state(jax.jit(sf.sharded_add_features,
+                                static_argnums=(1, 4))(
+        place(dd, mesh), cfg, new_uv, nvalid, mesh, depths=depths))
+    np.testing.assert_allclose(np.asarray(sa.Sigma), np.asarray(da.Sigma),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sa.feat_mu), np.asarray(da.feat_mu),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(sa.active), np.asarray(da.active))
+
+
+def test_sharded_imu_parity(dense_state, cfg, mesh):
+    K = 8
+    batch = imu_mod.ImuSample(
+        dt=jnp.full((K,), 0.005),
+        gyro=0.1 * jax.random.normal(jax.random.PRNGKey(3), (K, 3)),
+        accel=jnp.tile(jnp.array([0.0, 0.0, 9.81]), (K, 1))
+        + 0.1 * jax.random.normal(jax.random.PRNGKey(4), (K, 3)))
+    g_w = jnp.array([0.0, 0.0, -9.81])
+    d, qt_d = jax.jit(imu_mod.propagate_imu_batch_with_motion,
+                      static_argnums=1)(dense_state, cfg, batch, g_w)
+    s, qt_s = jax.jit(sf.sharded_propagate_imu_batch,
+                      static_argnums=(1, 4))(
+        place(dense_state, mesh), cfg, batch, g_w, mesh)
+    m = sf.merge_state(s)
+    np.testing.assert_allclose(np.asarray(qt_s), np.asarray(qt_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.base_mu), np.asarray(d.base_mu),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.Sigma), np.asarray(d.Sigma),
+                               atol=3e-5)
+
+
+def test_full_sharded_engine_step_parity(cfg, mesh):
+    """Whole per-frame pipeline (predict→track→update→drop→replenish)
+    sharded vs dense on the same synthetic image pair."""
+    from ekf_vio_tpu import engine
+    from ekf_vio_tpu.parallel import sharded_engine as se
+
+    w, h = 160, 120
+    cam = engine.make_hashable_camera(
+        [[115.0, 0.0, w / 2], [0.0, 115.0, h / 2], [0.0, 0.0, 1.0]], w, h)
+    rng = np.random.RandomState(0)
+    base = rng.uniform(0, 255, (h, w + 8)).astype(np.float32)
+    # blocky texture so FAST finds corners
+    base = (base > 128).astype(np.float32) * 200.0
+    img0 = jnp.asarray(base[:, :w])
+    img1 = jnp.asarray(base[:, 2:w + 2])
+
+    d0 = engine.initialize(img0, 0.0, cfg, cam)
+    d1, dout = jax.jit(engine.step, static_argnums=(3, 4))(
+        d0, img1, jnp.float32(0.05), cfg, cam)
+
+    s0 = se.initialize(img0, 0.0, cfg, cam, mesh)
+    s1, sout = jax.jit(se.step, static_argnums=(3, 4, 5))(
+        s0, img1, jnp.float32(0.05), cfg, cam, mesh)
+
+    m1 = sf.merge_state(s1.filt)
+    assert int(sout.num_tracked) == int(dout.num_tracked)
+    np.testing.assert_array_equal(np.asarray(m1.active),
+                                  np.asarray(d1.filt.active))
+    np.testing.assert_allclose(np.asarray(m1.base_mu),
+                               np.asarray(d1.filt.base_mu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m1.feat_mu),
+                               np.asarray(d1.filt.feat_mu), atol=2e-5)
+    # f32 reassociation through predict → Cholesky → Joseph compounds to
+    # a few 1e-4 on isolated Σ elements (Σ spans 1e-5..1e2 here)
+    np.testing.assert_allclose(np.asarray(m1.Sigma),
+                               np.asarray(d1.filt.Sigma), atol=5e-4)
+
+
+def test_update_compiles_with_collectives_and_sharded_memory(
+        dense_state, cfg, mesh):
+    """Hard evidence of distribution: the optimized HLO of the sharded
+    update contains explicit collectives, and each device's Σff argument
+    is 1/NS of the full feature block (so per-device state memory shrinks
+    with the mesh, unlike the replicated-GSPMD fallback)."""
+    mc = jnp.tile(jnp.eye(2) * 1e-5, (cfg.max_features, 1, 1))
+    z = dense_state.feat_mu[:, :2] + 0.01
+    ss = place(dense_state, mesh)
+
+    compiled = evidence.compile_lowered(
+        lambda s: sf.sharded_update(s, cfg, z, mc, s.active, mesh), ss)
+    counts = evidence.collective_inventory(compiled)
+    # 4 all-gathers (Ub, Uf, Vf, Mbf_uv) + 1 all-to-all (ff symmetrize);
+    # the compiler may fuse/split some, so assert presence not exact count
+    assert counts["all-gather"] >= 1, counts
+    assert counts["all-to-all"] >= 1, counts
+    assert counts["total"] >= 3, counts
+
+    # per-shard ff block bytes = full ff / NS
+    n3 = 3 * cfg.max_features
+    full_ff_bytes = n3 * n3 * 4
+    shard_bytes = [np.prod(db.data.shape) * 4 for db in ss.ff.addressable_shards]
+    assert all(b == full_ff_bytes // NS for b in shard_bytes), shard_bytes
+
+
+def test_predict_compiles_with_collectives(dense_state, cfg, mesh):
+    compiled = evidence.compile_lowered(
+        lambda s: sf.sharded_predict(s, cfg, 0.05, mesh),
+        place(dense_state, mesh))
+    counts = evidence.collective_inventory(compiled)
+    assert counts["all-gather"] >= 1, counts
+
+
+def test_aligned_feature_capacity():
+    assert sf.aligned_feature_capacity(14, 4) == 16
+    assert sf.aligned_feature_capacity(256, 8) == 256
+    assert sf.aligned_feature_capacity(257, 8) == 264
