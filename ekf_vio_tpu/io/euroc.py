@@ -69,64 +69,107 @@ def find_euroc(sequence: str = "MH_01_easy"):
     return None
 
 
-def _read_csv(path, cols):
-    out = []
+def _read_rows(path):
     with open(path) as f:
-        for row in csv.reader(f):
-            if not row or row[0].startswith("#"):
-                continue
-            out.append([row[i] for i in cols])
-    return np.asarray(out, np.float64)
+        return [row for row in csv.reader(f)
+                if row and not row[0].lstrip().startswith("#")]
+
+
+def _read_csv(path, value_cols):
+    """ASL csv → (int64 stamps [ns], float64 values).
+
+    Stamps MUST be parsed as integers: EuRoC nanosecond timestamps
+    (~1.4e18) exceed float64's exact-integer range (2^53), so a float
+    round-trip corrupts the low digits (and any filename derived from
+    them).
+    """
+    rows = _read_rows(path)
+    stamps = np.asarray([int(r[0]) for r in rows], np.int64)
+    vals = np.asarray([[r[i] for i in value_cols] for r in rows], np.float64)
+    return stamps, vals
 
 
 def load_sequence(mav0: str, name: str = "euroc") -> EurocSequence:
-    cam_csv = _read_csv(os.path.join(mav0, "cam0", "data.csv"), [0])
+    cam_rows = _read_rows(os.path.join(mav0, "cam0", "data.csv"))
     img_dir = os.path.join(mav0, "cam0", "data")
-    stamps = cam_csv[:, 0]
-    paths = [os.path.join(img_dir, f"{int(s):d}.png") for s in stamps]
+    stamps = np.asarray([int(r[0]) for r in cam_rows], np.int64)
+    # cam0/data.csv is "timestamp [ns],filename" — use the recorded
+    # filename when present rather than re-deriving it from the stamp
+    paths = [
+        os.path.join(img_dir,
+                     r[1].strip() if len(r) > 1 and r[1].strip()
+                     else f"{int(r[0]):d}.png")
+        for r in cam_rows
+    ]
 
-    imu = _read_csv(os.path.join(mav0, "imu0", "data.csv"),
-                    [0, 1, 2, 3, 4, 5, 6])
-    gt = _read_csv(
+    imu_t, imu = _read_csv(os.path.join(mav0, "imu0", "data.csv"),
+                           [1, 2, 3, 4, 5, 6])
+    gt_t, gt = _read_csv(
         os.path.join(mav0, "state_groundtruth_estimate0", "data.csv"),
-        [0, 1, 2, 3, 4, 5, 6, 7])
+        [1, 2, 3, 4, 5, 6, 7])
 
     t0 = stamps[0]
     return EurocSequence(
         name=name,
         image_times=((stamps - t0) * 1e-9).astype(np.float32),
         image_paths=paths,
-        imu_times=((imu[:, 0] - t0) * 1e-9).astype(np.float32),
-        imu_gyro=imu[:, 1:4].astype(np.float32),
-        imu_accel=imu[:, 4:7].astype(np.float32),
-        gt_times=((gt[:, 0] - t0) * 1e-9).astype(np.float32),
-        gt_pos=gt[:, 1:4].astype(np.float32),
-        gt_quat=gt[:, 4:8].astype(np.float32),
+        imu_times=((imu_t - t0) * 1e-9).astype(np.float32),
+        imu_gyro=imu[:, 0:3].astype(np.float32),
+        imu_accel=imu[:, 3:6].astype(np.float32),
+        gt_times=((gt_t - t0) * 1e-9).astype(np.float32),
+        gt_pos=gt[:, 0:3].astype(np.float32),
+        gt_quat=gt[:, 3:7].astype(np.float32),
     )
 
 
 def load_images(seq: EurocSequence, start=0, count=None, inverse_scale=4,
-                undistort=True):
+                undistort=True, use_native=True):
     """Decode + (optionally) undistort + downscale a window of frames.
 
-    Returns ([T, H, W] float32, scaled K [3,3]).  Uses OpenCV for PNG
-    decode and radtan undistortion (host-side IO; the TPU pipeline starts
-    at the array boundary).
+    Returns ([T, H, W] float32, scaled K [3,3]).  PNG decode runs through
+    the native threaded frame loader (native/frameloader.cpp — decode
+    overlapped across worker threads, the ingest role ROS image_transport
+    plays for the reference, EKFVIO.cpp:69-71), falling back to a cv2 loop
+    when the shared library is unavailable; undistortion is a cv2 radtan
+    remap sized to the actual decoded frames (host-side IO — the TPU
+    pipeline starts at the array boundary).
     """
     import cv2
 
     paths = seq.image_paths[start : start + count if count else None]
+
+    # Decode at full resolution (undistortion must precede downscaling,
+    # matching the reference's rectify-nodelet → Frame-ctor order).
+    frames = [None] * len(paths)
+    loader = None
+    if use_native:
+        from ekf_vio_tpu.io import frame_loader
+
+        if frame_loader.native_available():
+            loader = frame_loader.FrameLoader(paths, inverse_scale=1)
+    if loader is not None:
+        try:
+            for i, im in loader:
+                frames[i] = im
+        finally:
+            loader.close()
+    else:
+        for i, p in enumerate(paths):
+            im = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+            frames[i] = None if im is None else im.astype(np.float32)
+    missing = [paths[i] for i, f in enumerate(frames) if f is None]
+    if missing:
+        raise FileNotFoundError(missing[0])
+
     newK = CAM0_K.copy()
     und_maps = None
     if undistort:
+        h, w = frames[0].shape
         und_maps = cv2.initUndistortRectifyMap(
             CAM0_K, np.concatenate([CAM0_DIST, [0.0]]).astype(np.float32),
-            None, newK, CAM0_SIZE, cv2.CV_32FC1)
+            None, newK, (w, h), cv2.CV_32FC1)
     imgs = []
-    for p in paths:
-        im = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
-        if im is None:
-            raise FileNotFoundError(p)
+    for im in frames:
         if und_maps is not None:
             im = cv2.remap(im, und_maps[0], und_maps[1], cv2.INTER_LINEAR)
         if inverse_scale != 1:

@@ -161,6 +161,45 @@ class TestKLT:
         assert np.median(err) < 0.5, f"median disagreement {np.median(err):.3f}px"
         assert (err < 1.5).mean() > 0.8, f"outlier fraction {(err >= 1.5).mean():.2f}"
 
+    def test_opencv_parity_on_shear_fixture(self, img_pair):
+        # the deformation case the reference kept specifically for
+        # tracking tests (images/640_480_shear_test.png, test/klt_test.cpp):
+        # a sheared warp violates the pure-translation LK model, so both
+        # trackers must degrade the same way — quantitative endpoint
+        # comparison against cv2 on the co-tracked set.
+        a, _ = img_pair
+        b = load_fixture("640_480_shear_test.png")
+        det = cv2.FastFeatureDetector_create(threshold=60, nonmaxSuppression=True)
+        kps = sorted(det.detect(a), key=lambda k: -k.response)[:48]
+        pts = np.array([k.pt for k in kps], np.float32)
+        keep = ((pts[:, 0] > 25) & (pts[:, 0] < a.shape[1] - 25)
+                & (pts[:, 1] > 25) & (pts[:, 1] < a.shape[0] - 25))
+        pts = pts[keep]
+
+        cfg = VIOConfig()
+        cv_pts, cv_st, _ = cv2.calcOpticalFlowPyrLK(
+            a, b, pts.reshape(-1, 1, 2), None,
+            winSize=(cfg.klt_window_size, cfg.klt_window_size),
+            maxLevel=cfg.klt_max_pyramid_level,
+            criteria=(cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 30, 0.01),
+            minEigThreshold=cfg.klt_min_eigen,
+        )
+        cv_pts = cv_pts.reshape(-1, 2)
+        cv_st = cv_st.reshape(-1).astype(bool)
+
+        res = self._track(a, b, pts, cfg)
+        ours = np.asarray(res.points)
+        our_st = np.asarray(res.status)
+
+        both = cv_st & our_st
+        assert both.sum() >= max(4, int(0.4 * cv_st.sum())), (
+            f"too few co-tracked under shear: ours {our_st.sum()} cv {cv_st.sum()}")
+        err = np.linalg.norm(ours[both] - cv_pts[both], axis=-1)
+        # shear breaks the translation model; agreement loosens but the
+        # endpoint distribution must still match cv2's
+        assert np.median(err) < 1.0, f"median disagreement {np.median(err):.3f}px"
+        assert (err < 3.0).mean() > 0.7, f"outlier fraction {(err >= 3.0).mean():.2f}"
+
     def test_min_eig_rejects_flat_region(self):
         img = np.full((96, 96), 128.0, np.float32)
         res = self._track(img, img, np.array([[48.0, 48.0]]))
