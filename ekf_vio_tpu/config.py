@@ -76,6 +76,10 @@ class VIOConfig:
     start_feature_count: int = 20        # D_START_FEATURE_COUNT (Params.h:49)
     minimum_trackable_features: int = 4  # D_MINIMUM_TRACKABLE_FEATURES (Params.h:55)
     frame_buffer_size: int = 2           # D_FRAME_BUFFER_SIZE (Params.h:58)
+    # act on tracking_lost (the reference only logs it, EKFVIO.cpp:192):
+    # re-bootstrap the filter — free all slots, re-inflate kinematic
+    # variances, re-detect — instead of filtering on garbage
+    recover_on_tracking_lost: bool = True
 
     # ---- IMU fusion (new capability; reference declares USE_IMU but never
     #      fuses IMU data — EKFVIO.cpp:113-115, SURVEY.md §0)

@@ -66,6 +66,48 @@ def initialize(
     return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(1))
 
 
+def _recover_tracking_lost(filt: ekf.FilterState, cfg: VIOConfig, lost):
+    """Re-bootstrap when tracking collapses (the *action* on the flag the
+    reference only logs, EKFVIO.cpp:192).
+
+    Keeps the pose (the anchored gauge) and the bias estimates, but frees
+    every feature slot, wipes all cross-correlations, and re-inflates the
+    kinematic (vel/ω/a) variances to the cold-start prior — the same
+    ignorance declaration as TightlyCoupledEKF.cpp:29-54.  Non-finite mean
+    entries fall back to the init values.  The regular replenish path then
+    re-detects from the current frame, and in IMU mode the VI depth
+    bootstrap re-establishes metric depths as parallax appears.
+
+    All slots selected by a where() so the branch scans/vmaps (a lax.cond
+    would be retraced under vmap anyway)."""
+    dtype = filt.Sigma.dtype
+    n = filt.n_max
+
+    init_mu = jnp.zeros((22,), dtype).at[3].set(1.0)
+    base = jnp.where(jnp.isfinite(filt.base_mu), filt.base_mu, init_mu)
+    qn = jnp.linalg.norm(base[3:7])
+    q = jnp.where(qn > 1e-6, base[3:7] / jnp.maximum(qn, 1e-6),
+                  init_mu[3:7])
+    base = base.at[3:7].set(q)
+
+    diag = jnp.diag(filt.Sigma)
+    safe = lambda d, fb: jnp.clip(jnp.where(jnp.isfinite(d), d, fb), 0.0, None)
+    sig_diag = jnp.concatenate([
+        safe(diag[:7], cfg.init_pose_variance),
+        jnp.full((9,), cfg.init_kinematic_variance, dtype),
+        safe(diag[16:22], cfg.init_bias_variance),
+        jnp.zeros((3 * n,), dtype),
+    ])
+
+    rec = filt.replace(
+        base_mu=base,
+        active=jnp.zeros((n,), bool),
+        Sigma=jnp.diag(sig_diag),
+        age=jnp.zeros((n,), jnp.int32),
+    )
+    return jax.tree.map(lambda a, b: jnp.where(lost, b, a), filt, rec)
+
+
 def step(
     estate: EngineState,
     img: jnp.ndarray,
@@ -155,6 +197,16 @@ def step(
     # flag-but-never-erase gap, TightlyCoupledEKF.cpp:525-529)
     filt = ekf.drop_features(filt, filt.active & ~passed)
 
+    # failure detection: the reference declares a tracking_lost flag but
+    # never raises it (EKFVIO.h:55, logged at EKFVIO.cpp:192); here it is
+    # computed — too few surviving tracks or a non-finite state — AND acted
+    # on: the filter re-bootstraps instead of filtering on garbage.
+    lost = (num_tracked < cfg.minimum_trackable_features) | ~jnp.isfinite(
+        filt.base_mu
+    ).all() | ~jnp.isfinite(jnp.diagonal(filt.Sigma)).all()
+    if cfg.recover_on_tracking_lost:
+        filt = _recover_tracking_lost(filt, cfg, lost)
+
     # --- replenish (EKFVIO.cpp:224-311)
     feat_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])
     cand_px, cand_valid = replenish.replenish(
@@ -182,13 +234,6 @@ def step(
                            cfg.default_point_depth)
     # add_features also seeds klt_ref for the new slots
     filt = ekf.add_features(filt, cfg, cand_uv, cand_valid, depths=depths)
-
-    # failure detection: the reference declares a tracking_lost flag but
-    # never raises it (EKFVIO.h:55, logged at EKFVIO.cpp:192); here it is
-    # actually computed — too few surviving tracks or a non-finite state.
-    lost = (num_tracked < cfg.minimum_trackable_features) | ~jnp.isfinite(
-        filt.base_mu
-    ).all()
 
     out = StepOutputs(
         base_mu=filt.base_mu,

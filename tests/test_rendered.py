@@ -55,6 +55,33 @@ def test_full_vio_on_rendered_images(seq):
     assert ate < 0.05  # meters, 16-frame vision-only run
 
 
+def test_tracking_lost_recovery_on_blanked_frames():
+    """Blank 5 frames mid-run: tracking collapses, the engine must raise
+    tracking_lost, re-bootstrap (free slots, re-inflate kinematics,
+    re-detect — engine._recover_tracking_lost), and finish the sequence
+    finite and within a loose ATE bound (the reference only logs the flag,
+    EKFVIO.cpp:192)."""
+    base_seq = rendered.generate(num_frames=28, w=192, h=144, f=160.0)
+    frames = base_seq.frames.copy()
+    frames[14:19] = 0.0  # 5-frame blackout
+    blk = base_seq._replace(frames=frames)
+
+    cfg = VIOConfig(max_features=64, min_new_feature_dist=8.0,
+                    fast_threshold=20, triangulate_new_features=True,
+                    klt_measurement_variance_px=0.05)
+    ate, outs = rendered.evaluate_ate(blk, cfg=cfg, use_imu=True)
+    lost = np.asarray(outs.tracking_lost)
+    base = np.asarray(outs.base_mu)
+
+    assert lost.any(), "blackout must raise tracking_lost"
+    # the filter recovers: last frames track again and the flag clears
+    assert not lost[-3:].any(), f"still lost at the end: {lost}"
+    assert int(np.asarray(outs.num_tracked)[-1]) > 10
+    assert np.isfinite(base).all()
+    # coasting on IMU through the blackout keeps the trajectory bounded
+    assert ate < 0.5, f"post-blackout ATE {ate:.3f} m"
+
+
 def test_full_vio_imu_mode_runs(seq):
     cfg = VIOConfig(max_features=64, min_new_feature_dist=8.0,
                     fast_threshold=20, triangulate_new_features=True,
