@@ -1,0 +1,84 @@
+"""Hardware validation of the square-root filter at large slot counts.
+
+VERDICT r1 asked whether the Cholesky-factor form can retire the relative
+spectral floor (VIOConfig.sigma_jitter_rel — the covariance-form
+workaround for the f32 Cholesky of S NaNing at ~100 features on TPU,
+reference fixSigma stub: TightlyCoupledEKF.cpp:716-718).  This runs the
+closed-loop simulator at 128 and 503 feature slots on the real chip:
+
+* covariance form, floor ON  (the shipping default)
+* covariance form, floor OFF (expected to go non-finite at scale)
+* square-root form, floor OFF (must hold: PSD by construction)
+
+plus steady-state per-step timing for the cost comparison.  Writes
+benchmarks/sqrt_validation.json.
+
+Run on the TPU (no JAX_PLATFORMS override): python benchmarks/sqrt_validation.py
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_vio_tpu.config import VIOConfig
+from ekf_vio_tpu.sim import simulator
+
+
+def run_case(n_slots, square_root, floor_on, steps=300):
+    cfg = VIOConfig(
+        max_features=n_slots,
+        square_root_form=square_root,
+        sigma_jitter_rel=1e-4 if floor_on else 0.0,
+        sigma_jitter=0.0,
+    )
+    scn = simulator.REFERENCE_SCENARIOS[5]._replace(feature_count=n_slots)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    state, _, telem = simulator.run_scenario(key, scn, cfg, steps)
+    jax.block_until_ready(state.Sigma)
+    wall_first = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state2, _, telem = simulator.run_scenario(key, scn, cfg, steps)
+    jax.block_until_ready(state2.Sigma)
+    wall = time.perf_counter() - t0
+
+    min_diag, asym, pos_err, feat_err = map(np.asarray, telem)
+    return {
+        "n_slots": n_slots,
+        "form": "sqrt" if square_root else "covariance",
+        "spectral_floor": floor_on,
+        "steps": steps,
+        "finite": bool(np.isfinite(pos_err).all()
+                       and np.isfinite(np.asarray(state2.Sigma)).all()),
+        "min_diag": float(min_diag.min()),
+        "max_asym": float(asym.max()),
+        "final_feat_err": float(feat_err[-1]),
+        "final_pos_err": float(pos_err[-1]),
+        "per_step_ms": wall / steps * 1e3,
+        "compile_s": wall_first - wall,
+    }
+
+
+def main():
+    device = jax.devices()[0]
+    results = []
+    for n in (128, 503):
+        for form, floor in (("cov", True), ("cov", False), ("sqrt", False)):
+            r = run_case(n, square_root=(form == "sqrt"), floor_on=floor)
+            results.append(r)
+            print(json.dumps(r))
+
+    out = {"device": str(device), "results": results}
+    path = os.path.join(os.path.dirname(__file__), "sqrt_validation.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,12 @@ class VIOConfig:
 
     # ---- numerics
     dtype: Any = None                # resolved lazily to jnp.float32
+    # Square-root (Cholesky-factor) predict/update (core/sqrt_filter.py):
+    # every covariance op becomes an orthogonal triangularization — PSD by
+    # construction, no Cholesky of S, no spectral floor needed.  ~2-3x the
+    # per-step cost of the covariance form (QR vs matmul+chol); use when
+    # conditioning matters more than speed (large N, long sequences).
+    square_root_form: bool = False
     sigma_jitter: float = 0.0        # optional absolute diagonal jitter on S
     # Relative spectral floor on S: λ = sigma_jitter_rel · max(diag S).
     # f32 formation of S = HΣHᵀ+R carries relative error ~ε·λmax, so

@@ -28,10 +28,23 @@ from ekf_vio_tpu.core.state import (  # noqa: F401  (re-exports)
     drop_features,
     init_state,
 )
-from ekf_vio_tpu.core.update import (  # noqa: F401
-    innovation_stats,
-    update_with_feature_positions,
+from ekf_vio_tpu.core.update import innovation_stats  # noqa: F401
+from ekf_vio_tpu.core.update import (
+    update_with_feature_positions as _update_covariance_form,
 )
+
+
+def update_with_feature_positions(state, cfg, measured_uv, meas_cov, passed):
+    """EKF update, dispatching on VIOConfig.square_root_form: the dense
+    covariance-form update (core/update.py) or the QR square-root array
+    update (core/sqrt_filter.py) — identical semantics, different
+    conditioning/cost tradeoff."""
+    if cfg.square_root_form:
+        from ekf_vio_tpu.core import sqrt_filter
+
+        return sqrt_filter.update_sqrt(state, cfg, measured_uv, meas_cov,
+                                       passed)
+    return _update_covariance_form(state, cfg, measured_uv, meas_cov, passed)
 
 
 def predict(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
@@ -43,7 +56,14 @@ def predict(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
        transported with the *pre-update* base state, cpp:102-107),
     3. Σ ← FΣFᵀ + Q via structured blocked matmuls (cpp:113-117; the
        sparse prune is unnecessary for a dense representation).
+
+    With VIOConfig.square_root_form the covariance propagation runs as an
+    orthogonal triangularization instead (core/sqrt_filter.py).
     """
+    if cfg.square_root_form:
+        from ekf_vio_tpu.core import sqrt_filter
+
+        return sqrt_filter.predict_sqrt(state, cfg, dt)
     dt = jnp.asarray(dt, state.base_mu.dtype)
 
     Fb, Ffb, Ff = dynamics.process_jacobian_blocks(state.base_mu, state.feat_mu, dt)
