@@ -98,6 +98,73 @@ def bench_tpu(frames, times):
     return fps
 
 
+def bench_tpu_batched(frames, times, batch=16):
+    """Aggregate frames/s with `batch` sequences vmapped on one chip
+    (BASELINE config 4's single-chip half).  Each batch lane runs the
+    same sequence; vmap makes per-lane work independent so this measures
+    exactly the data-parallel throughput of the engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu import engine
+    from ekf_vio_tpu.config import VIOConfig
+    from ekf_vio_tpu.frontend import camera as cam_mod
+    from ekf_vio_tpu.parallel.batched_engine import run_sequences_batched
+
+    cfg = VIOConfig(max_features=128, min_new_feature_dist=8.0,
+                    fast_threshold=30)
+    s = cfg.inverse_image_scale
+    w, h = W_IN // s, H_IN // s
+    cam = engine.make_hashable_camera(
+        [[458.0 / s, 0, w / 2], [0, 458.0 / s, h / 2], [0, 0, 1]], w, h)
+
+    imgs = jnp.asarray(frames)
+    small = jax.jit(lambda x: cam_mod.downscale_image(x, s))(imgs)
+    imgs_b = jnp.broadcast_to(small, (batch,) + small.shape)
+    ts_b = jnp.broadcast_to(jnp.asarray(times), (batch, N_FRAMES))
+
+    _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    return batch * (N_FRAMES - 1) / dt
+
+
+def bench_tpu_imu(num_frames=240):
+    """Steady-state mono-inertial frames/s: the full north-star pipeline
+    (IMU strapdown propagation between frames + vision update) on the
+    rendered sequence (sim/rendered.py), compile excluded."""
+    import jax
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu import engine
+    from ekf_vio_tpu.config import VIOConfig
+    from ekf_vio_tpu.sim import rendered
+
+    seq = rendered.generate(num_frames=num_frames)
+    cfg = VIOConfig(max_features=128, min_new_feature_dist=10.0,
+                    fast_threshold=25, triangulate_new_features=True,
+                    klt_measurement_variance_px=0.05)
+    h, w = seq.frames.shape[1:]
+    cam = engine.make_hashable_camera(seq.K, w, h)
+    args = (jnp.asarray(seq.frames), jnp.asarray(seq.times),
+            jnp.asarray(seq.imu_dt), jnp.asarray(seq.imu_gyro),
+            jnp.asarray(seq.imu_accel), jnp.asarray(seq.gravity_w), cfg, cam)
+
+    _, outs = engine.run_sequence_imu(*args, init_frames=cfg.vi_init_frames)
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    _, outs = engine.run_sequence_imu(*args, init_frames=cfg.vi_init_frames)
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    tracked = np.asarray(outs.num_tracked)
+    assert np.isfinite(np.asarray(outs.base_mu)).all(), "IMU pipeline NaN"
+    assert tracked[5:].min() > 10, f"IMU pipeline lost tracking: {tracked}"
+    return (num_frames - cfg.vi_init_frames) / dt
+
+
 def bench_cpu_reference(frames, times):
     """Faithful CPU reimplementation of the reference pipeline: OpenCV
     KLT/FAST (the reference's own calls) + dense NumPy EKF with the same
@@ -133,12 +200,17 @@ def main():
                       f)
 
     tpu_fps = bench_tpu(frames, times)
+    imu_fps = bench_tpu_imu()
+    batch16_fps = bench_tpu_batched(frames, times, batch=16)
 
     print(json.dumps({
         "metric": "vio_pipeline_frames_per_s",
         "value": round(tpu_fps, 2),
         "unit": "frames/s (640x480 in, /4 processed, 100 features, 1 chip)",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "mono_inertial_fps": round(imu_fps, 2),
+        "batch16_aggregate_fps": round(batch16_fps, 2),
+        "batch16_speedup": round(batch16_fps / tpu_fps, 2),
     }))
 
 

@@ -50,6 +50,11 @@ class VIOConfig:
     bootstrap_depth_sigma_rel: float = 0.25  # re-init σ_ρ = rel · ρ
     # closed-form visual-inertial alignment (core/vi_init.py)
     vi_init_frames: int = 10             # frames consumed by the initializer
+    # Gauss-Newton IMU-bias refinement inside the alignment
+    # (vi_init.align_with_gyro_bias): removes the zero-bias integration
+    # tilt that otherwise becomes a >1° yaw transient in the filter
+    vi_init_estimate_gyro_bias: bool = True
+    vi_init_estimate_accel_bias: bool = True
     init_aligned_velocity_variance: float = 1e-2  # post-alignment vel var
     default_point_depth: float = 0.5           # D_DEFAULT_POINT_DEPTH (Params.h:83)
     default_point_depth_variance: float = 100.0  # D_DEFAULT_POINT_DEPTH_VARIANCE (Params.h:84)
@@ -90,6 +95,20 @@ class VIOConfig:
     imu_gyro_bias_walk: float = 1.9e-5
     imu_accel_bias_walk: float = 3.0e-3
     gravity: float = 9.81
+    # Bias priors for the mono-inertial mode (engine.initialize_imu).
+    # The reference's 0.5 bias variance belongs to its inert random-walk
+    # bias states (TightlyCoupledEKF.cpp:29-54); with a REAL IMU a
+    # σ≈0.7 rad/s gyro-bias prior lets the filter blame early
+    # depth-transient innovations on bias — measured to overshoot the
+    # gyro bias 3x within 1.5 s and integrate a >1° yaw error.  MEMS-IMU
+    # priors: gyro bias σ ~ 0.02 rad/s, accel bias σ ~ 0.1 m/s².
+    init_gyro_bias_sigma: float = 0.02
+    init_accel_bias_sigma: float = 0.1
+    # First-estimate Jacobians (consistency): evaluate the IMU-interval
+    # transition Jacobians along a chain propagated from the previous
+    # frame's PRIOR estimate, preserving the unobservable
+    # yaw-about-gravity subspace (core/imu.py, engine.EngineState.lin_base)
+    use_fej: bool = True
 
     # ---- numerics
     dtype: Any = None                # resolved lazily to jnp.float32

@@ -222,12 +222,28 @@ def propagate_imu_batch(state: FilterState, cfg: VIOConfig, batch: ImuSample,
 
 @jax.default_matmul_precision("float32")
 def propagate_imu_batch_with_motion(state: FilterState, cfg: VIOConfig,
-                                    batch: ImuSample, gravity_w):
+                                    batch: ImuSample, gravity_w,
+                                    lin_base=None):
     """As propagate_imu_batch, also returning the compound camera motion
     qt = [qc(4), tc(3)] of the interval (p_cur = R(qc) p_prev + tc) — the
     exact inter-frame baseline, needed e.g. by two-view depth
     triangulation (the dt·vel reconstruction the vision-only mode uses is
-    wrong under IMU propagation)."""
+    wrong under IMU propagation).
+
+    ``lin_base`` (first-estimate Jacobians): when given (the base state
+    as predicted at the PREVIOUS frame, before its vision update), the
+    covariance-transport Jacobians Ji/Gi are evaluated along a chain
+    propagated from ``lin_base`` instead of the posterior mean.  With
+    posterior linearization points, consecutive transition Jacobians
+    chain at mismatched states, which makes the filter's observability
+    Gramian gain rank along the yaw-about-gravity direction that the
+    true system cannot observe — the classic EKF-VIO inconsistency
+    (Huang et al., FEJ).  The dynamics here are exactly equivariant
+    under world yaw (gravity compensation R(q)ᵀg_w is invariant, body
+    velocities are frame-local, features are camera-frame), so pinning
+    the Jacobian chain to prior estimates preserves the unobservable
+    subspace to first order; the mean always uses the best estimate.
+    """
     nb = BASE_STATE_SIZE
     dtype = state.Sigma.dtype
     psd = imu_noise_psd(cfg).astype(dtype)
@@ -245,12 +261,19 @@ def propagate_imu_batch_with_motion(state: FilterState, cfg: VIOConfig,
     k = batch.dt.shape[0]
     x, xs = jax.lax.scan(mbody, x0, batch, unroll=min(k, 16))  # xs: entry states
 
+    xs_lin = xs
+    if lin_base is not None:
+        x0_lin = jnp.concatenate(
+            [lin_base.astype(dtype), jnp.array([1.0, 0, 0, 0], dtype),
+             jnp.zeros(3, dtype)])
+        _, xs_lin = jax.lax.scan(mbody, x0_lin, batch, unroll=min(k, 16))
+
     # Phase 2 — per-sample Jacobians, batched over the whole interval
     # (sequentializing these inside the scan is 2.5x slower on hardware).
     Ji = jax.vmap(_jac29_x, in_axes=(0, 0, 0, None, 0, None))(
-        xs, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
     Gi = jax.vmap(_jac29_n, in_axes=(0, 0, 0, None, 0, None))(
-        xs, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
     qn = psd[None, :] / jnp.maximum(batch.dt, 1e-6)[:, None]
     GQG = jnp.einsum("kij,kj,klj->kil", Gi, qn, Gi)
     ok = (batch.dt > 0)[:, None, None]

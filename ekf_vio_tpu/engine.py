@@ -30,6 +30,12 @@ class EngineState(NamedTuple):
     filt: ekf.FilterState
     prev_pyr: tuple  # pyramid of the previous (processed-scale) frame
     frame_idx: jnp.ndarray = jnp.int32(0)  # frames processed so far
+    # FEJ linearization point: the base state as predicted at the current
+    # frame BEFORE its vision update (x̂_{k|k-1}).  The next interval's
+    # transition Jacobians are evaluated along a chain propagated from
+    # here (core/imu.py propagate_imu_batch_with_motion), which preserves
+    # the unobservable yaw-about-gravity subspace (cfg.use_fej).
+    lin_base: jnp.ndarray = None
 
 
 class StepOutputs(NamedTuple):
@@ -63,7 +69,8 @@ def initialize(
     filt = filt.replace(klt_ref=jnp.where(valid[:, None], uv, filt.klt_ref))
 
     pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
-    return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(1))
+    return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(1),
+                       lin_base=filt.base_mu)
 
 
 def _recover_tracking_lost(filt: ekf.FilterState, cfg: VIOConfig, lost):
@@ -133,8 +140,10 @@ def step(
     if imu_batch is not None:
         from ekf_vio_tpu.core import imu as imu_mod
 
+        lin = estate.lin_base if (cfg.use_fej and estate.lin_base
+                                  is not None) else None
         filt, frame_qt = imu_mod.propagate_imu_batch_with_motion(
-            filt, cfg, imu_batch, gravity_w)
+            filt, cfg, imu_batch, gravity_w, lin_base=lin)
         # cover any remainder of the interval not spanned by IMU samples
         rem = jnp.maximum(t - filt.t, 0.0)
         filt = jax.tree.map(
@@ -144,6 +153,8 @@ def step(
     else:
         filt = ekf.predict(filt, cfg, dt)
     filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
+    # FEJ anchor for the NEXT interval: this frame's prior estimate
+    new_lin_base = filt.base_mu
 
     # --- track (updateStateWithNewImage, EKFVIO.cpp:207-219)
     cur_pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
@@ -206,6 +217,8 @@ def step(
     ).all() | ~jnp.isfinite(jnp.diagonal(filt.Sigma)).all()
     if cfg.recover_on_tracking_lost:
         filt = _recover_tracking_lost(filt, cfg, lost)
+        # a re-bootstrapped filter re-anchors its linearization point
+        new_lin_base = jnp.where(lost, filt.base_mu, new_lin_base)
 
     # --- replenish (EKFVIO.cpp:224-311)
     feat_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])
@@ -244,7 +257,8 @@ def step(
         tracking_lost=lost,
     )
     return EngineState(filt=filt, prev_pyr=cur_pyr,
-                       frame_idx=estate.frame_idx + 1), out
+                       frame_idx=estate.frame_idx + 1,
+                       lin_base=new_lin_base), out
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam"))
@@ -304,19 +318,28 @@ def initialize_imu(
     h_obs = jnp.stack(h_list)          # [K, N, 2]
     valid_obs = jnp.stack(valid_list)  # [K, N]
 
-    # IMU integration + joint (v0, depths) alignment
-    R_i, tc_i, tau, _ = vi_init.integrate_motion(
-        times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
-        gravity_w)
-    res_a = vi_init.align(h_obs, valid_obs, R_i, tc_i, tau)
+    # IMU integration + joint (v0, depths[, biases]) alignment
+    if cfg.vi_init_estimate_gyro_bias:
+        res_a, bg0, ba0 = vi_init.align_with_gyro_bias(
+            times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
+            gravity_w, h_obs, valid_obs,
+            estimate_accel_bias=cfg.vi_init_estimate_accel_bias)
+    else:
+        R_i, tc_i, tau, _ = vi_init.integrate_motion(
+            times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
+            gravity_w)
+        res_a = vi_init.align(h_obs, valid_obs, R_i, tc_i, tau)
+        bg0 = ba0 = jnp.zeros(3)
     _, _, _, base22 = vi_init.integrate_motion(
         times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
-        gravity_w, v0=res_a.v0_world)
+        gravity_w, v0=res_a.v0_world, gyro_bias=bg0, accel_bias=ba0)
+    base22 = base22.at[16:19].set(ba0).at[19:22].set(bg0)
 
     # aligned features expressed in frame K-1
-    tK = tc_i[k - 1] - tau[k - 1] * (R_i[k - 1] @ res_a.v0_world)
+    RK, tcK = res_a.R_i[k - 1], res_a.tc_i[k - 1]
+    tK = tcK - res_a.tau_i[k - 1] * (RK @ res_a.v0_world)
     h0 = jnp.concatenate([h_obs[0], jnp.ones((cfg.max_features, 1))], -1)
-    pK = (jnp.einsum("ab,nb->na", R_i[k - 1], h0)
+    pK = (jnp.einsum("ab,nb->na", RK, h0)
           * res_a.depths0[:, None] + tK)
     keep = valid_obs[k - 1] & res_a.depth_ok & (pK[:, 2] > 0.02)
 
@@ -329,6 +352,8 @@ def initialize_imu(
     # guess), aligned depths carry a relative sigma instead of the prior
     d = jnp.diag(filt.Sigma)
     d = d.at[7:10].set(cfg.init_aligned_velocity_variance)
+    d = d.at[16:19].set(cfg.init_accel_bias_sigma**2)
+    d = d.at[19:22].set(cfg.init_gyro_bias_sigma**2)
     rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
     sig_rho = cfg.bootstrap_depth_sigma_rel * filt.feat_mu[:, 2]
     d = d.at[rho_idx].set(jnp.where(filt.active, sig_rho * sig_rho,
@@ -336,7 +361,8 @@ def initialize_imu(
     idx = jnp.arange(filt.state_dim)
     filt = filt.replace(Sigma=filt.Sigma.at[idx, idx].set(d))
 
-    return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(k))
+    return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(k),
+                       lin_base=filt.base_mu)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam", "init_frames"))

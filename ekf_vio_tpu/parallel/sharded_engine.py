@@ -33,6 +33,7 @@ class ShardedEngineState(NamedTuple):
     filt: sf.ShardedFilterState
     prev_pyr: tuple
     frame_idx: jnp.ndarray = jnp.int32(0)
+    lin_base: jnp.ndarray = None  # FEJ anchor (engine.EngineState.lin_base)
 
 
 def initialize(img, t, cfg: VIOConfig, cam, mesh: Mesh) -> ShardedEngineState:
@@ -41,7 +42,8 @@ def initialize(img, t, cfg: VIOConfig, cam, mesh: Mesh) -> ShardedEngineState:
     filt = jax.device_put(sf.split_state(estate.filt),
                           sf.state_shardings(mesh))
     return ShardedEngineState(filt=filt, prev_pyr=estate.prev_pyr,
-                              frame_idx=estate.frame_idx)
+                              frame_idx=estate.frame_idx,
+                              lin_base=estate.filt.base_mu)
 
 
 def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
@@ -54,8 +56,10 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     # --- predict
     frame_qt = None
     if imu_batch is not None:
+        lin = estate.lin_base if (cfg.use_fej and estate.lin_base
+                                  is not None) else None
         filt, frame_qt = sf.sharded_propagate_imu_batch(
-            filt, cfg, imu_batch, gravity_w, mesh)
+            filt, cfg, imu_batch, gravity_w, mesh, lin_base=lin)
         rem = jnp.maximum(t - filt.t, 0.0)
         filt = jax.tree.map(
             lambda a, b: jnp.where(rem > 1e-6, b, a),
@@ -63,6 +67,7 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     else:
         filt = sf.sharded_predict(filt, cfg, dt, mesh)
     filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
+    new_lin_base = filt.base_mu
 
     # --- track (replicated front-end)
     cur_pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
@@ -139,7 +144,8 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
         tracking_lost=lost,
     )
     return ShardedEngineState(filt=filt, prev_pyr=cur_pyr,
-                              frame_idx=estate.frame_idx + 1), out
+                              frame_idx=estate.frame_idx + 1,
+                              lin_base=new_lin_base), out
 
 
 def _innovation(filt: sf.ShardedFilterState, measured_uv, passed):

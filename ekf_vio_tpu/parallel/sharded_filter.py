@@ -492,11 +492,14 @@ def sharded_drop_features(state: ShardedFilterState, drop,
 
 
 def sharded_propagate_imu_batch(state: ShardedFilterState, cfg: VIOConfig,
-                                batch, gravity_w, mesh: Mesh):
+                                batch, gravity_w, mesh: Mesh,
+                                lin_base=None):
     """Distributed analog of imu.propagate_imu_batch_with_motion.
 
     The 29-dim mean/Jacobian accumulation scan is replicated (tiny); the
-    [D, D] covariance algebra is shard_map'd.  Returns (state, qt)."""
+    [D, D] covariance algebra is shard_map'd.  Returns (state, qt).
+    ``lin_base`` selects first-estimate-Jacobian linearization exactly as
+    in the dense path (see imu.propagate_imu_batch_with_motion)."""
     from ekf_vio_tpu.core import imu as imu_mod
 
     dtype = state.bb.dtype
@@ -514,10 +517,17 @@ def sharded_propagate_imu_batch(state: ShardedFilterState, cfg: VIOConfig,
     kk = batch.dt.shape[0]
     x, xs = jax.lax.scan(mbody, x0, batch, unroll=min(kk, 16))
 
+    xs_lin = xs
+    if lin_base is not None:
+        x0_lin = jnp.concatenate([lin_base.astype(dtype),
+                                  jnp.array([1.0, 0, 0, 0], dtype),
+                                  jnp.zeros(3, dtype)])
+        _, xs_lin = jax.lax.scan(mbody, x0_lin, batch, unroll=min(kk, 16))
+
     Ji = jax.vmap(imu_mod._jac29_x, in_axes=(0, 0, 0, None, 0, None))(
-        xs, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
     Gi = jax.vmap(imu_mod._jac29_n, in_axes=(0, 0, 0, None, 0, None))(
-        xs, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
     qn = psd[None, :] / jnp.maximum(batch.dt, 1e-6)[:, None]
     GQG = jnp.einsum("kij,kj,klj->kil", Gi, qn, Gi)
     ok = (batch.dt > 0)[:, None, None]

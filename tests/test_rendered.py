@@ -82,6 +82,28 @@ def test_tracking_lost_recovery_on_blanked_frames():
     assert ate < 0.5, f"post-blackout ATE {ate:.3f} m"
 
 
+def test_mono_inertial_position_nees_consistent():
+    """Filter consistency (NEES): the mono-inertial filter's reported
+    position covariance must statistically cover its actual error — the
+    property FEJ + the bias-aware initialization protect (an
+    overconfident filter gains spurious information along the
+    unobservable yaw/position directions; VERDICT r1 item 3)."""
+    seq = rendered.generate(num_frames=60, w=192, h=144, f=160.0)
+    cfg = VIOConfig(max_features=64, min_new_feature_dist=8.0,
+                    fast_threshold=20, triangulate_new_features=True,
+                    klt_measurement_variance_px=0.05)
+    ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=True)
+    start = cfg.vi_init_frames
+    base = np.asarray(outs.base_mu)
+    pcov = np.asarray(outs.pose_cov_diag)
+    err = base[:, :3] - seq.gt_pos[start:]
+    # diagonal 3-dof NEES; expectation 3 for a perfectly calibrated filter
+    nees = (err**2 / np.maximum(pcov[:, :3], 1e-12)).sum(axis=1)
+    m = float(nees[5:].mean())
+    assert m < 8.0, f"overconfident filter: mean position NEES {m:.2f}"
+    assert m > 0.02, f"wildly pessimistic filter: mean position NEES {m:.4f}"
+
+
 def test_full_vio_imu_mode_runs(seq):
     cfg = VIOConfig(max_features=64, min_new_feature_dist=8.0,
                     fast_threshold=20, triangulate_new_features=True,
