@@ -81,10 +81,19 @@ class CPUReferenceEKF:
         p = np.stack([feat[:, 0] * z, feat[:, 1] * z, z], -1)
         tr = dt * vel + 0.5 * dt * dt * acc
         dqi = self._dq(omega, dt) * np.array([1, -1, -1, -1], np.float32)
-        p = np.stack([self._rot(dqi, pi - tr) for pi in p])
+        # vectorized quaternion rotation over the whole feature set
+        p = p - tr
+        w, u = dqi[0], dqi[1:]
+        uv = np.cross(np.broadcast_to(u, p.shape), p)
+        p = p + 2.0 * (w * uv + np.cross(np.broadcast_to(u, p.shape), uv))
         return np.stack([p[:, 0] / p[:, 2], p[:, 1] / p[:, 2], 1.0 / p[:, 2]], -1)
 
-    # ---- numeric Jacobian (central differences, DELTA_SHIFT=1e-3)
+    # ---- numeric Jacobian (central differences, DELTA_SHIFT=1e-3).
+    # Same algorithm as the reference (TightlyCoupledEKF.cpp:176-325) but
+    # each perturbation evaluates the feature transport for ALL features at
+    # once (the per-feature 3x3 blocks share the perturbed coordinate), so
+    # the cost is O(16 + 9 + 6) vectorized model evaluations instead of
+    # O(9N) scalar ones — the constant factor Eigen's compiled loops get.
     def _jacobian(self, dt):
         d = 1e-3
         n = len(self.feat)
@@ -102,15 +111,15 @@ class CPUReferenceEKF:
                     (self._convolve_feats(hi, self.feat, dt)
                      - self._convolve_feats(lo, self.feat, dt)) / (2 * d)
                 ).reshape(-1)
-        for i in range(n):
+        if n:
+            rows = self.BASE + 3 * np.arange(n)[:, None] + np.arange(3)[None]
             for k in range(3):
                 hi, lo = self.feat.copy(), self.feat.copy()
-                hi[i, k] += d
-                lo[i, k] -= d
-                col = (self._convolve_feats(self.mu, hi[i : i + 1], dt)
-                       - self._convolve_feats(self.mu, lo[i : i + 1], dt)) / (2 * d)
-                F[self.BASE + 3 * i : self.BASE + 3 * i + 3,
-                  self.BASE + 3 * i + k] = col[0]
+                hi[:, k] += d
+                lo[:, k] -= d
+                blk = (self._convolve_feats(self.mu, hi, dt)
+                       - self._convolve_feats(self.mu, lo, dt)) / (2 * d)
+                F[rows, (self.BASE + 3 * np.arange(n) + k)[:, None]] = blk
         return F
 
     def _process_noise(self, dt):

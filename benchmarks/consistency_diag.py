@@ -19,20 +19,11 @@ from ekf_vio_tpu.config import VIOConfig  # noqa: E402
 from ekf_vio_tpu.sim import rendered  # noqa: E402
 
 
-def quat_to_yaw_about(q, g_dir):
-    """Rotation angle of q about the gravity axis g_dir (swing-twist)."""
-    w, xyz = q[0], q[1:4]
-    proj = np.dot(xyz, g_dir)
-    tw = np.array([w, *(proj * g_dir)])
-    tw = tw / (np.linalg.norm(tw) + 1e-12)
-    return 2.0 * np.arctan2(proj * np.sign(tw[0] * proj + 1e-30) if False else np.dot(tw[1:], g_dir), tw[0])
-
-
 def main():
     num_frames = int(os.environ.get("DIAG_FRAMES", "300"))
     seq = rendered.generate(num_frames=num_frames)
     overrides = {}
-    for key in ("vi_init_frames", "bootstrap_max_age"):
+    for key in ("vi_init_frames", "bootstrap_max_age", "vi_init_gn_rounds"):
         if f"DIAG_{key.upper()}" in os.environ:
             overrides[key] = int(os.environ[f"DIAG_{key.upper()}"])
     for key in ("klt_measurement_variance_px", "init_gyro_bias_sigma",
@@ -79,8 +70,8 @@ def main():
 
     bg_est = base[:, 19:22]
     ba_est = base[:, 16:19]
-    bg_true = np.array([0.002, -0.001, 0.003])
-    ba_true = np.array([0.02, -0.015, 0.01])
+    bg_true = np.asarray(seq.gyro_bias)
+    ba_true = np.asarray(seq.accel_bias)
 
     idx = np.linspace(0, len(base) - 1, 10).astype(int)
     rep = {

@@ -32,7 +32,8 @@ from ekf_vio_tpu.parallel import batched, multihost
 from ekf_vio_tpu.parallel import mesh as mesh_mod
 
 
-def main(n_state: int = 1, seqs_per_device: int = 4, steps: int = 50):
+def main(n_state: int = 1, seqs_per_device: int = 4, steps: int = 50,
+         write_json: bool = True):
     info = multihost.initialize_distributed()
     mesh = multihost.make_pod_mesh(n_state=n_state)
     n_data = mesh.shape["data"]
@@ -62,13 +63,26 @@ def main(n_state: int = 1, seqs_per_device: int = 4, steps: int = 50):
         "aggregate_steps_per_s": batch / dt,
     }
     if jax.process_index() == 0:
-        print(json.dumps(report, indent=2))
-        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "multihost_scaling.json")
-        with open(out_path, "w") as f:
-            json.dump(report, f, indent=2)
+        # single-line sentinel: gloo/XLA log chatter interleaves on stdout
+        print("EKFVIO_REPORT " + json.dumps(report), flush=True)
+        if write_json:
+            out_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "multihost_scaling.json")
+            with open(out_path, "w") as f:
+                json.dump(report, f, indent=2)
     return report
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--seqs-per-device", type=int, default=4)
+    ap.add_argument("--n-state", type=int, default=1)
+    ap.add_argument("--no-json", action="store_true",
+                    help="print only; the launcher aggregates the report")
+    a = ap.parse_args()
+    main(n_state=a.n_state, seqs_per_device=a.seqs_per_device,
+         steps=a.steps, write_json=not a.no_json)

@@ -203,7 +203,9 @@ def bench_klt_level(peak_flops, peak_bw):
 
     def step(p):
         g, _, _, _ = pallas_klt.track_level_pallas(img0, img1, p, p, valid)
-        return p + 0.0 * g
+        # value-preserving data dependency: 0.0*g could be constant-folded
+        # under fast-math, dead-code-eliminating the kernel
+        return p + 1e-30 * g
 
     t = timeit_device(step, pts, iters=30)
 

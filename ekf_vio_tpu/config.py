@@ -55,6 +55,7 @@ class VIOConfig:
     # tilt that otherwise becomes a >1° yaw transient in the filter
     vi_init_estimate_gyro_bias: bool = True
     vi_init_estimate_accel_bias: bool = True
+    vi_init_gn_rounds: int = 2       # alternation rounds of the bias GN
     init_aligned_velocity_variance: float = 1e-2  # post-alignment vel var
     default_point_depth: float = 0.5           # D_DEFAULT_POINT_DEPTH (Params.h:83)
     default_point_depth_variance: float = 100.0  # D_DEFAULT_POINT_DEPTH_VARIANCE (Params.h:84)
@@ -95,15 +96,18 @@ class VIOConfig:
     imu_gyro_bias_walk: float = 1.9e-5
     imu_accel_bias_walk: float = 3.0e-3
     gravity: float = 9.81
-    # Bias priors for the mono-inertial mode (engine.initialize_imu).
-    # The reference's 0.5 bias variance belongs to its inert random-walk
-    # bias states (TightlyCoupledEKF.cpp:29-54); with a REAL IMU a
-    # σ≈0.7 rad/s gyro-bias prior lets the filter blame early
-    # depth-transient innovations on bias — measured to overshoot the
-    # gyro bias 3x within 1.5 s and integrate a >1° yaw error.  MEMS-IMU
-    # priors: gyro bias σ ~ 0.02 rad/s, accel bias σ ~ 0.1 m/s².
-    init_gyro_bias_sigma: float = 0.02
-    init_accel_bias_sigma: float = 0.1
+    # POST-ALIGNMENT bias priors (consumed only by engine.initialize_imu,
+    # after vi_init's Gauss-Newton has SOLVED for the biases).  The
+    # reference's 0.5 bias variance belongs to its inert random-walk bias
+    # states (TightlyCoupledEKF.cpp:29-54).  These sigmas must match the
+    # alignment's actual accuracy (~1-2e-3 rad/s gyro on a 0.5 s window,
+    # benchmarks/consistency_diag.py): a loose prior (0.02 was round 2's
+    # value) lets the filter blame early depth-transient innovations on
+    # gyro bias — measured to pull the bias estimate 7x off within 1.5 s,
+    # integrating a ~0.9° yaw-about-gravity error that alone tripled the
+    # mono-inertial ATE (0.33% → 0.13% of path from this change).
+    init_gyro_bias_sigma: float = 0.003
+    init_accel_bias_sigma: float = 0.03
     # First-estimate Jacobians (consistency): evaluate the IMU-interval
     # transition Jacobians along a chain propagated from the previous
     # frame's PRIOR estimate, preserving the unobservable

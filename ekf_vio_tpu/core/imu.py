@@ -211,6 +211,29 @@ _transport_jac_qt = jax.vmap(jax.jacfwd(_compound_transport, argnums=1),
                              in_axes=(0, None))
 
 
+def _compose_chain_tree(Ji, Qi):
+    """Compound a chain of (J, Q) covariance-transport pairs by a pairwise
+    reduction tree.
+
+    Ji: [K, n, n] per-sample transition Jacobians (applied in index order:
+    sample 0 first), Qi: [K, n, n] per-sample additive noise.  Returns the
+    compound (J = J_{K-1}···J_0, Q) — identical algebra to the sequential
+    left fold, reassociated into log₂K levels of batched matmuls.
+    """
+    while Ji.shape[0] > 1:
+        k = Ji.shape[0]
+        even = k - (k % 2)
+        Ja, Qa = Ji[0:even:2], Qi[0:even:2]     # earlier of each pair
+        Jb, Qb = Ji[1:even:2], Qi[1:even:2]     # later of each pair
+        Jc = jnp.einsum("kij,kjl->kil", Jb, Ja)
+        Qc = jnp.einsum("kij,kjl,kml->kim", Jb, Qa, Jb) + Qb
+        if k % 2:
+            Jc = jnp.concatenate([Jc, Ji[-1:]], 0)
+            Qc = jnp.concatenate([Qc, Qi[-1:]], 0)
+        Ji, Qi = Jc, Qc
+    return Ji[0], Qi[0]
+
+
 def propagate_imu_batch(state: FilterState, cfg: VIOConfig, batch: ImuSample,
                         gravity_w) -> FilterState:
     """Propagate a camera interval's IMU samples ([K] leading dim;
@@ -218,6 +241,58 @@ def propagate_imu_batch(state: FilterState, cfg: VIOConfig, batch: ImuSample,
     propagation for the whole interval (see block comment above)."""
     state, _ = propagate_imu_batch_with_motion(state, cfg, batch, gravity_w)
     return state
+
+
+@jax.default_matmul_precision("float32")
+def compound_interval(base_mu, cfg: VIOConfig, batch: ImuSample, gravity_w,
+                      dtype, lin_base=None):
+    """Phases 1-3 of the compound propagation (shared by the dense and the
+    sharded filter): integrate the 29-dim [base, qc, tc] system over the
+    interval and compound the per-sample (J, Q) transport pairs.
+
+    Returns (base_mu', qt, qt_lin, J [29,29], Q29 [29,29], total_dt) where
+    qt_lin is the compound motion of the FEJ linearization chain (== qt
+    when ``lin_base`` is None).
+    """
+    psd = imu_noise_psd(cfg).astype(dtype)
+    zero_n = jnp.zeros(12, dtype)
+
+    x0 = jnp.concatenate(
+        [base_mu, jnp.array([1.0, 0, 0, 0], dtype), jnp.zeros(3, dtype)])
+
+    # Phase 1 — mean chain (the only sequential dependency), unrolled so
+    # XLA fuses the per-sample elementwise chains into one kernel.
+    def mbody(x, smp):
+        x2 = _motion_step29(x, smp.gyro, smp.accel, zero_n, smp.dt, gravity_w)
+        return jnp.where(smp.dt > 0, x2, x), x
+
+    k = batch.dt.shape[0]
+    x, xs = jax.lax.scan(mbody, x0, batch, unroll=min(k, 16))  # xs: entry states
+
+    xs_lin, x_lin = xs, x
+    if lin_base is not None:
+        x0_lin = jnp.concatenate(
+            [lin_base.astype(dtype), jnp.array([1.0, 0, 0, 0], dtype),
+             jnp.zeros(3, dtype)])
+        x_lin, xs_lin = jax.lax.scan(mbody, x0_lin, batch, unroll=min(k, 16))
+
+    # Phase 2 — per-sample Jacobians, batched over the whole interval
+    # (sequentializing these inside the scan is 2.5x slower on hardware).
+    Ji = jax.vmap(_jac29_x, in_axes=(0, 0, 0, None, 0, None))(
+        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+    Gi = jax.vmap(_jac29_n, in_axes=(0, 0, 0, None, 0, None))(
+        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+    qn = psd[None, :] / jnp.maximum(batch.dt, 1e-6)[:, None]
+    GQG = jnp.einsum("kij,kj,klj->kil", Gi, qn, Gi)
+    ok = (batch.dt > 0)[:, None, None]
+    Ji = jnp.where(ok, Ji, jnp.eye(29, dtype=dtype)[None])
+    GQG = jnp.where(ok, GQG, 0.0)
+
+    # Phase 3 — compose (J, Q) pairs: associative, so a log-depth pairwise
+    # tree of batched matmuls instead of K sequential 29×29 products.
+    J, Q29 = _compose_chain_tree(Ji, GQG)
+
+    return x[0:22], x[22:29], x_lin[22:29], J, Q29, jnp.sum(batch.dt)
 
 
 @jax.default_matmul_precision("float32")
@@ -246,58 +321,24 @@ def propagate_imu_batch_with_motion(state: FilterState, cfg: VIOConfig,
     """
     nb = BASE_STATE_SIZE
     dtype = state.Sigma.dtype
-    psd = imu_noise_psd(cfg).astype(dtype)
-    zero_n = jnp.zeros(12, dtype)
 
-    x0 = jnp.concatenate(
-        [state.base_mu, jnp.array([1.0, 0, 0, 0], dtype), jnp.zeros(3, dtype)])
-
-    # Phase 1 — mean chain (the only sequential dependency), unrolled so
-    # XLA fuses the per-sample elementwise chains into one kernel.
-    def mbody(x, smp):
-        x2 = _motion_step29(x, smp.gyro, smp.accel, zero_n, smp.dt, gravity_w)
-        return jnp.where(smp.dt > 0, x2, x), x
-
-    k = batch.dt.shape[0]
-    x, xs = jax.lax.scan(mbody, x0, batch, unroll=min(k, 16))  # xs: entry states
-
-    xs_lin = xs
-    if lin_base is not None:
-        x0_lin = jnp.concatenate(
-            [lin_base.astype(dtype), jnp.array([1.0, 0, 0, 0], dtype),
-             jnp.zeros(3, dtype)])
-        _, xs_lin = jax.lax.scan(mbody, x0_lin, batch, unroll=min(k, 16))
-
-    # Phase 2 — per-sample Jacobians, batched over the whole interval
-    # (sequentializing these inside the scan is 2.5x slower on hardware).
-    Ji = jax.vmap(_jac29_x, in_axes=(0, 0, 0, None, 0, None))(
-        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
-    Gi = jax.vmap(_jac29_n, in_axes=(0, 0, 0, None, 0, None))(
-        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
-    qn = psd[None, :] / jnp.maximum(batch.dt, 1e-6)[:, None]
-    GQG = jnp.einsum("kij,kj,klj->kil", Gi, qn, Gi)
-    ok = (batch.dt > 0)[:, None, None]
-    Ji = jnp.where(ok, Ji, jnp.eye(29, dtype=dtype)[None])
-    GQG = jnp.where(ok, GQG, 0.0)
-
-    # Phase 3 — compose (J, Q) pairs: (Jb, Qb)∘(Ja, Qa) = (Jb Ja, Jb Qa Jbᵀ + Qb).
-    def pbody(carry, inp):
-        J, Q = carry
-        Jk, Qk = inp
-        return (Jk @ J, Jk @ Q @ Jk.T + Qk), None
-
-    (J, Q29), _ = jax.lax.scan(
-        pbody, (jnp.eye(29, dtype=dtype), jnp.zeros((29, 29), dtype)),
-        (Ji, GQG), unroll=min(k, 16))
-
-    base_mu = x[0:22]
-    qt = x[22:29]
-    total_dt = jnp.sum(batch.dt)
+    base_mu, qt, qt_lin, J, Q29, total_dt = compound_interval(
+        state.base_mu, cfg, batch, gravity_w, dtype, lin_base=lin_base)
 
     # Jacobian blocks of the compound map (analytic batched einsums; the
     # vmapped-jacfwd equivalent is kept above as the tested ground truth).
+    # FEJ coverage: with lin_base given, the feature-transport Jacobians
+    # W/Ff are ALSO evaluated at the first-estimate compound motion
+    # qt_lin (the lin chain's endpoint) so the whole column of F chains at
+    # matched linearization points; only the feature coordinates
+    # themselves still linearize at their posterior values (their prior
+    # is not retained — a deliberate partial coverage, the correction is
+    # O(innovation) per frame).  The MEAN transport always uses the best
+    # (posterior) estimate qt.
     Fb = J[:nb, :nb]
-    new_feat, Ff, W = dynamics.transport_jacobians(state.feat_mu, qt)
+    new_feat = jax.vmap(_compound_transport, in_axes=(0, None))(
+        state.feat_mu, qt)
+    _, Ff, W = dynamics.transport_jacobians(state.feat_mu, qt_lin)
     Ffb = jnp.einsum("nij,jb->nib", W, J[nb:, :nb])       # [N, 3, 22]
     Ffb, Ff = dynamics.mask_feature_jacobians(Ffb, Ff, state.active)
     W = jnp.where(state.active[:, None, None], W, 0.0)

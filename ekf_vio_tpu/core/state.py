@@ -160,8 +160,11 @@ def add_features(
     # diagonal prior.
     _, uvr = feature_rowcol_indices(n)
     take3 = jnp.repeat(take, 3)  # [3N]
-    row_mask = jnp.zeros((state.state_dim,), bool).at[uvr].set(take3)
-    Sigma = jnp.where(row_mask[:, None] | row_mask[None, :], 0.0, state.Sigma)
+    # multiplicative wipe: one fused [D,D] pass (a bool-broadcast where()
+    # costs two materialized [D,D] operands)
+    keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
+        1.0 - take3.astype(state.Sigma.dtype))
+    Sigma = state.Sigma * (keep[:, None] * keep[None, :])
     prior = jnp.where(
         take[:, None],
         jnp.array(
@@ -192,8 +195,9 @@ def drop_features(state: FilterState, drop: jnp.ndarray) -> FilterState:
     _, uvr = feature_rowcol_indices(n)
     drop = drop & state.active
     drop3 = jnp.repeat(drop, 3)
-    row_mask = jnp.zeros((state.state_dim,), bool).at[uvr].set(drop3)
-    Sigma = jnp.where(row_mask[:, None] | row_mask[None, :], 0.0, state.Sigma)
+    keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
+        1.0 - drop3.astype(state.Sigma.dtype))
+    Sigma = state.Sigma * (keep[:, None] * keep[None, :])
     return state.replace(active=state.active & ~drop, Sigma=Sigma)
 
 

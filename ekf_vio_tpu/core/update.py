@@ -84,6 +84,7 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed):
     # Mask: unmeasured rows/cols collapse to the identity so the Cholesky
     # stays well posed; corresponding gain columns are zeroed through A.
     mm = m[:, None] * m[None, :]
+    S_true = S * mm           # unregularized masked S — for the Joseph form
     S = S * mm + jnp.diag(1.0 - m)
     # Relative spectral floor (see VIOConfig.sigma_jitter_rel): the blocked
     # f32 Cholesky cannot resolve eigenvalues below ~ε·λmax of S anyway —
@@ -102,11 +103,16 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed):
 
     mu = mu + K @ y
 
-    # Joseph form: (I − KH) via scatter of K into the uv columns.
-    KH = jnp.zeros((d, d), state.Sigma.dtype).at[:, uv_idx].set(K)
-    I_KH = jnp.eye(d, dtype=state.Sigma.dtype) - KH
-    R_full = block_diag_R(meas_cov) * mm
-    Sigma = I_KH @ state.Sigma @ I_KH.T + K @ R_full @ K.T
+    # Joseph form, expanded through the selector structure of H:
+    #   (I−KH)Σ(I−KH)ᵀ + KRKᵀ = Σ − K(HΣ) − (ΣHᵀ)Kᵀ + K(HΣHᵀ+R)Kᵀ
+    # with HΣ = Aᵀ and HΣHᵀ+R = S_true (the UNregularized masked S — the
+    # identity holds for ANY K, so the jittered factorization's gain stays
+    # exactly Joseph-consistent).  Identical algebra to the materialized
+    # (I−KH) product but rank-2M: ~221 vs ~352 MFLOP at D=406/2N=256, and
+    # no [D,D] scatter/eye passes.  d is unused only in this formulation.
+    del d
+    B = K @ A.T                                       # [D, D]
+    Sigma = state.Sigma - B - B.T + (K @ S_true) @ K.T
     Sigma = 0.5 * (Sigma + Sigma.T)
 
     # Quaternion renormalization (TightlyCoupledEKF.cpp:604-609).

@@ -185,7 +185,11 @@ def align_with_gyro_bias(times, imu_dt, imu_gyro, imu_accel, gravity_w,
     observable through its τ²/2 signature and needs a ≳1 s window."""
     b = jnp.zeros(6)
 
-    def residuals(b_, v0, z):
+    def residuals(b_, v0, z, depth_ok):
+        # depth_ok gates the residual mask too: a feature whose depth was
+        # not solved (z forced to 0) would otherwise still contribute the
+        # model-inconsistent term [h_i]x t_i and bias the Gauss-Newton
+        # bias estimate whenever low-parallax tracks are present.
         R_i, tc_i, tau, _ = integrate_motion(
             times, imu_dt, imu_gyro, imu_accel, gravity_w,
             gyro_bias=b_[0:3], accel_bias=b_[3:6])
@@ -197,7 +201,7 @@ def align_with_gyro_bias(times, imu_dt, imu_gyro, imu_accel, gravity_w,
             t_i = tc_i[i] - tau[i] * (R_i[i] @ v0)
             p = (jnp.einsum("ab,nb->na", R_i[i], h0) * z[:, None] + t_i)
             r = jnp.cross(hi, p)
-            w = (valid[i] & valid[0]).astype(r.dtype)[:, None]
+            w = (valid[i] & valid[0] & depth_ok).astype(r.dtype)[:, None]
             out.append(r * w)
         return jnp.concatenate(out).reshape(-1)
 
@@ -209,8 +213,8 @@ def align_with_gyro_bias(times, imu_dt, imu_gyro, imu_accel, gravity_w,
             gyro_bias=b[0:3], accel_bias=b[3:6])
         res = align(h_obs, valid, R_i, tc_i, tau)
         z = jnp.where(res.depth_ok, res.depths0, 0.0)
-        r = residuals(b, res.v0_world, z)
-        J = jax.jacfwd(residuals)(b, res.v0_world, z)    # [M, 6]
+        r = residuals(b, res.v0_world, z, res.depth_ok)
+        J = jax.jacfwd(residuals)(b, res.v0_world, z, res.depth_ok)  # [M, 6]
         J = J[:, :nb]
         JtJ = J.T @ J
         # mild prior (Levenberg) keeps the weakly-observed ba components

@@ -191,8 +191,9 @@ def step(
 
         rho = jnp.where(boot, rho_new, filt.feat_mu[:, 2])
         rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
-        m = jnp.zeros((filt.state_dim,), bool).at[rho_idx].set(boot)
-        Sigma = jnp.where(m[:, None] | m[None, :], 0.0, filt.Sigma)
+        keep = jnp.ones((filt.state_dim,), filt.Sigma.dtype).at[rho_idx].set(
+            1.0 - boot.astype(filt.Sigma.dtype))
+        Sigma = filt.Sigma * (keep[:, None] * keep[None, :])
         diag = jnp.diag(Sigma)[rho_idx]
         Sigma = Sigma.at[rho_idx, rho_idx].set(
             jnp.where(boot, sig_tri * sig_tri, diag))
@@ -322,7 +323,7 @@ def initialize_imu(
     if cfg.vi_init_estimate_gyro_bias:
         res_a, bg0, ba0 = vi_init.align_with_gyro_bias(
             times[:k], imu_dt[:k - 1], imu_gyro[:k - 1], imu_accel[:k - 1],
-            gravity_w, h_obs, valid_obs,
+            gravity_w, h_obs, valid_obs, rounds=cfg.vi_init_gn_rounds,
             estimate_accel_bias=cfg.vi_init_estimate_accel_bias)
     else:
         R_i, tc_i, tau, _ = vi_init.integrate_motion(

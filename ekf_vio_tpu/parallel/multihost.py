@@ -27,13 +27,22 @@ from jax.sharding import Mesh
 
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> dict:
+                           process_id: int | None = None,
+                           platform: str | None = None) -> dict:
     """Bring up the jax.distributed runtime (the NCCL/MPI-equivalent
     bootstrap; on TPU pods all three args auto-detect from the metadata
     server, on CPU/GPU fleets they come from the launcher env).
 
-    Safe to call once per process, before any jax computation.  Returns a
-    summary dict for logging.
+    Must be called before any jax computation (backend initialization
+    consumes the cluster config) — so the already-initialized check reads
+    ``jax._src.distributed.global_state`` instead of ``jax.process_count()``,
+    which would itself initialize backends and silently turn the bootstrap
+    into a no-op.
+
+    ``platform`` (or EKF_VIO_PLATFORM) forces the JAX platform before
+    backend init — "cpu" runs a real multi-process cluster on localhost
+    CPU devices (gloo collectives), the configuration the 2-process CI
+    test executes (tests/test_multiproc.py).
     """
     kw = {}
     if coordinator_address is None:
@@ -51,8 +60,15 @@ def initialize_distributed(coordinator_address: str | None = None,
     if process_id is not None:
         kw["process_id"] = process_id
 
-    already = jax.process_count() > 1
-    if not already and (kw or _on_tpu_pod()):
+    platform = platform or os.environ.get("EKF_VIO_PLATFORM")
+    if platform:
+        # must land before first backend use; overrides the environment's
+        # pre-registered default backend (e.g. a single-chip TPU plugin)
+        jax.config.update("jax_platforms", platform)
+
+    from jax._src import distributed
+
+    if distributed.global_state.client is None and (kw or _on_tpu_pod()):
         try:
             jax.distributed.initialize(**kw)
         except RuntimeError:
@@ -101,8 +117,8 @@ def make_pod_mesh(n_state: int | None = None,
         raise ValueError(f"state axis {n_state} must divide the per-host "
                          f"device count {per_host} (ICI locality)")
 
-    if (n_hosts > 1 and jax.process_count() > 1
-            and hasattr(devices[0], "slice_index")):
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_hosts > 1 and jax.process_count() > 1 and n_slices == n_hosts:
         # real pod: hybrid mesh, DCN axis = hosts (data only), ICI within
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(per_host // n_state, n_state),

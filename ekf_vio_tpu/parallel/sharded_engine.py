@@ -109,6 +109,16 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     num_tracked = jnp.sum((passed & filt.active).astype(jnp.int32))
     filt = sf.sharded_drop_features(filt, filt.active & ~passed, mesh)
 
+    # --- failure detection + recovery (same flow position as engine.step:
+    # before replenish, so re-detection happens in the same frame)
+    lost = (num_tracked < cfg.minimum_trackable_features)
+    lost |= ~jnp.isfinite(filt.base_mu).all()
+    lost |= ~jnp.isfinite(jnp.diagonal(filt.bb)).all()
+    lost |= ~jnp.isfinite(jnp.diagonal(filt.ff)).all()
+    if cfg.recover_on_tracking_lost:
+        filt = _recover_tracking_lost(filt, cfg, lost)
+        new_lin_base = jnp.where(lost, filt.base_mu, new_lin_base)
+
     # --- replenish
     feat_px = cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2])
     cand_px, cand_valid = replenish.replenish(
@@ -132,9 +142,6 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     filt = sf.sharded_add_features(filt, cfg, cand_uv, cand_valid, mesh,
                                    depths=depths)
 
-    lost = (num_tracked < cfg.minimum_trackable_features) | ~jnp.isfinite(
-        filt.base_mu).all()
-
     out = engine.StepOutputs(
         base_mu=filt.base_mu,
         num_tracked=num_tracked,
@@ -146,6 +153,39 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     return ShardedEngineState(filt=filt, prev_pyr=cur_pyr,
                               frame_idx=estate.frame_idx + 1,
                               lin_base=new_lin_base), out
+
+
+def _recover_tracking_lost(filt: sf.ShardedFilterState, cfg: VIOConfig, lost):
+    """Sharded port of engine._recover_tracking_lost: keep pose gauge and
+    bias estimates, free every slot, wipe all cross-correlations (bf/ff),
+    re-inflate the kinematic variances to the cold-start prior.  The wipes
+    are elementwise on the (bf, ff) blocks, so GSPMD keeps their sharding."""
+    dtype = filt.bb.dtype
+    n = filt.n_max
+
+    init_mu = jnp.zeros((22,), dtype).at[3].set(1.0)
+    base = jnp.where(jnp.isfinite(filt.base_mu), filt.base_mu, init_mu)
+    qn = jnp.linalg.norm(base[3:7])
+    q = jnp.where(qn > 1e-6, base[3:7] / jnp.maximum(qn, 1e-6), init_mu[3:7])
+    base = base.at[3:7].set(q)
+
+    diag = jnp.diagonal(filt.bb)
+    safe = lambda d, fb: jnp.clip(jnp.where(jnp.isfinite(d), d, fb), 0.0, None)
+    bb_diag = jnp.concatenate([
+        safe(diag[:7], cfg.init_pose_variance),
+        jnp.full((9,), cfg.init_kinematic_variance, dtype),
+        safe(diag[16:22], cfg.init_bias_variance),
+    ])
+
+    rec = filt.replace(
+        base_mu=base,
+        active=jnp.zeros((n,), bool),
+        bb=jnp.diag(bb_diag),
+        bf=jnp.zeros_like(filt.bf),
+        ff=jnp.zeros_like(filt.ff),
+        age=jnp.zeros((n,), jnp.int32),
+    )
+    return jax.tree.map(lambda a, b: jnp.where(lost, b, a), filt, rec)
 
 
 def _innovation(filt: sf.ShardedFilterState, measured_uv, passed):
@@ -166,3 +206,38 @@ def run_sequence(images, times, cfg: VIOConfig, cam, mesh: Mesh):
         return step(estate, img, t, cfg, cam, mesh)
 
     return jax.lax.scan(body, estate, (images[1:], times[1:]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "mesh", "init_frames"))
+def run_sequence_imu(images, times, imu_dt, imu_gyro, imu_accel, gravity_w,
+                     cfg: VIOConfig, cam, mesh: Mesh, init_frames: int = 0):
+    """Mono-inertial rollout on the sharded engine (analog of
+    engine.run_sequence_imu): the closed-form VI initialization runs
+    replicated (it is O(N) work on a handful of frames), then the state
+    splits onto the mesh and every frame runs the sharded step."""
+    from ekf_vio_tpu.core import imu as imu_mod
+
+    if init_frames > 1:
+        dense = engine.initialize_imu(images, times, imu_dt, imu_gyro,
+                                      imu_accel, gravity_w, cfg, cam,
+                                      init_frames)
+        start = init_frames
+    else:
+        dense = engine.initialize(images[0], times[0], cfg, cam)
+        start = 1
+    filt = jax.device_put(sf.split_state(dense.filt),
+                          sf.state_shardings(mesh))
+    estate = ShardedEngineState(filt=filt, prev_pyr=dense.prev_pyr,
+                                frame_idx=dense.frame_idx,
+                                lin_base=dense.filt.base_mu)
+
+    def body(estate, inp):
+        img, t, dts, gy, ac = inp
+        batch = imu_mod.ImuSample(dt=dts, gyro=gy, accel=ac)
+        return step(estate, img, t, cfg, cam, mesh, imu_batch=batch,
+                    gravity_w=gravity_w)
+
+    return jax.lax.scan(
+        body, estate,
+        (images[start:], times[start:], imu_dt[start - 1:],
+         imu_gyro[start - 1:], imu_accel[start - 1:]))

@@ -503,52 +503,15 @@ def sharded_propagate_imu_batch(state: ShardedFilterState, cfg: VIOConfig,
     from ekf_vio_tpu.core import imu as imu_mod
 
     dtype = state.bb.dtype
-    psd = imu_mod.imu_noise_psd(cfg).astype(dtype)
-    zero_n = jnp.zeros(12, dtype)
-    x0 = jnp.concatenate([state.base_mu,
-                          jnp.array([1.0, 0, 0, 0], dtype),
-                          jnp.zeros(3, dtype)])
+    base_mu, qt, qt_lin, J, Q29, total_dt = imu_mod.compound_interval(
+        state.base_mu, cfg, batch, gravity_w, dtype, lin_base=lin_base)
 
-    def mbody(x, smp):
-        x2 = imu_mod._motion_step29(x, smp.gyro, smp.accel, zero_n, smp.dt,
-                                    gravity_w)
-        return jnp.where(smp.dt > 0, x2, x), x
-
-    kk = batch.dt.shape[0]
-    x, xs = jax.lax.scan(mbody, x0, batch, unroll=min(kk, 16))
-
-    xs_lin = xs
-    if lin_base is not None:
-        x0_lin = jnp.concatenate([lin_base.astype(dtype),
-                                  jnp.array([1.0, 0, 0, 0], dtype),
-                                  jnp.zeros(3, dtype)])
-        _, xs_lin = jax.lax.scan(mbody, x0_lin, batch, unroll=min(kk, 16))
-
-    Ji = jax.vmap(imu_mod._jac29_x, in_axes=(0, 0, 0, None, 0, None))(
-        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
-    Gi = jax.vmap(imu_mod._jac29_n, in_axes=(0, 0, 0, None, 0, None))(
-        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
-    qn = psd[None, :] / jnp.maximum(batch.dt, 1e-6)[:, None]
-    GQG = jnp.einsum("kij,kj,klj->kil", Gi, qn, Gi)
-    ok = (batch.dt > 0)[:, None, None]
-    Ji = jnp.where(ok, Ji, jnp.eye(29, dtype=dtype)[None])
-    GQG = jnp.where(ok, GQG, 0.0)
-
-    def pbody(carry, inp):
-        J, Q = carry
-        Jk, Qk = inp
-        return (Jk @ J, Jk @ Q @ Jk.T + Qk), None
-
-    (J, Q29), _ = jax.lax.scan(
-        pbody, (jnp.eye(29, dtype=dtype), jnp.zeros((29, 29), dtype)),
-        (Ji, GQG), unroll=min(kk, 16))
-
-    base_mu = x[0:22]
-    qt = x[22:29]
-    total_dt = jnp.sum(batch.dt)
-
+    # Same FEJ coverage as the dense path: transport Jacobians at the
+    # lin chain's compound motion, mean transport at the posterior's.
     Fb = J[:NB, :NB]
-    new_feat, Ff, W = dynamics.transport_jacobians(state.feat_mu, qt)
+    new_feat = jax.vmap(imu_mod._compound_transport, in_axes=(0, None))(
+        state.feat_mu, qt)
+    _, Ff, W = dynamics.transport_jacobians(state.feat_mu, qt_lin)
     Ffb = jnp.einsum("nij,jb->nib", W, J[NB:, :NB])
     Ffb, Ff = dynamics.mask_feature_jacobians(Ffb, Ff, state.active)
     W = jnp.where(state.active[:, None, None], W, 0.0)

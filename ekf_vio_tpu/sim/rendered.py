@@ -33,6 +33,8 @@ class RenderedSequence(NamedTuple):
     imu_gyro: np.ndarray   # [T-1, S, 3] body rate (rad/s)
     imu_accel: np.ndarray  # [T-1, S, 3] specific force (m/s²)
     gravity_w: np.ndarray  # [3]
+    gyro_bias: np.ndarray = None   # [3] true constant gyro bias
+    accel_bias: np.ndarray = None  # [3] true constant accel bias
 
 
 def _rot_yaw_pitch(yaw, pitch):
@@ -161,7 +163,9 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
                             K=K, gt_pos=gt_pos.astype(np.float32),
                             gt_quat=gt_quat.astype(np.float32),
                             imu_dt=imu_dt, imu_gyro=gyro, imu_accel=accel,
-                            gravity_w=(-g_w).astype(np.float32))
+                            gravity_w=(-g_w).astype(np.float32),
+                            gyro_bias=bg.astype(np.float32),
+                            accel_bias=ba.astype(np.float32))
 
 
 def _mat_to_quat(R):
