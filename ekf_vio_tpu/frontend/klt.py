@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ekf_vio_tpu.config import VIOConfig
-from ekf_vio_tpu.frontend import pallas_klt
+from ekf_vio_tpu.frontend import pallas_klt, pallas_lk
 
 
 class TrackResult(NamedTuple):
@@ -281,11 +281,20 @@ def track(
     min_eig0 = jnp.zeros(prev_pts.shape[0])
     err0 = jnp.zeros(prev_pts.shape[0])
 
-    # On TPU, full-resolution pyramids run the fused Pallas level kernel
-    # (one kernel per level vs. dozens of XLA dispatches — 1.7 -> 1.1 ms
-    # on a 640x480 4-level track).  For small pyramids (the ÷4 default
-    # operating point) the XLA path fuses well and wins; the crossover is
-    # the base level's area (~64k px, measured).
+    # On TPU the fused corr-table tracker (frontend/pallas_lk.py) handles
+    # the whole pyramid in two kernels per level with no sampling work in
+    # the iteration loop — faster than the XLA path at every measured
+    # size, and natively batched under vmap (the XLA path's per-iteration
+    # selector tensors scale linearly with the batch).
+    if (cfg.use_pallas_klt and jax.default_backend() == "tpu"
+            and pallas_lk.supported(prev_pyr[0].shape, prev_pts.shape[0])):
+        g2, ok2, err2, eig2 = pallas_lk.track(
+            prev_pyr, cur_pyr, prev_pts, init_pts, valid, cfg)
+        return TrackResult(points=g2, status=ok2, error=err2, min_eig=eig2)
+
+    # The first-generation fused level kernel (frontend/pallas_klt.py) is
+    # retained for whole-level tracking when the corr-table path cannot
+    # apply (feature counts off the block grid).
     use_pallas = (cfg.use_pallas_klt and jax.default_backend() == "tpu"
                   and prev_pyr[0].shape[0] * prev_pyr[0].shape[1] >= 64 * 1024)
 
