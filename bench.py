@@ -79,6 +79,13 @@ def bench_tpu(frames, times):
     cam = engine.make_hashable_camera(
         [[458.0 / s, 0, w / 2], [0, 458.0 / s, h / 2], [0, 0, 1]], w, h)
 
+    # the headline number must measure the fused corr-table tracker — a
+    # silent supported() fallback has to FAIL the bench, not quietly
+    # re-target it (VERDICT r3 weak #2)
+    from ekf_vio_tpu.frontend import klt
+    backend = klt.selected_backend((h, w), cfg.max_features, cfg)
+    assert backend == "pallas_lk", f"tracker backend: {backend}"
+
     imgs = jnp.asarray(frames)
     imgs_small = jax.jit(lambda x: cam_mod.downscale_image(x, s))(imgs)
     ts = jnp.asarray(times)

@@ -32,17 +32,34 @@ def main():
                     fast_threshold=25, triangulate_new_features=True,
                     klt_measurement_variance_px=0.05)
 
+    from ekf_vio_tpu.frontend import klt
+    h, w = seq.frames.shape[1:]
+    backend = klt.selected_backend((h, w), cfg.max_features, cfg)
+    if jax.default_backend() == "tpu":
+        # accuracy must be scored against the SHIPPING tracker
+        assert backend == "pallas_lk", f"tracker backend: {backend}"
+
     report = {"device": str(jax.devices()[0]),
+              "tracker_backend": backend,
               "sequence": "rendered plane, 300 frames @20fps, 320x240",
               "path_length_m": round(path_len, 3)}
     for name, use_imu in (("mono_inertial", True), ("vision_only", False)):
         t0 = time.time()
         ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=use_imu)
+        wall_first = time.time() - t0
+        # second call: jit cache warm → pure run time; the difference is
+        # the compile cost (tracked per VERDICT r3 #8 — with the
+        # persistent compilation cache, repeat processes pay run_s too)
+        t0 = time.time()
+        ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=use_imu)
+        run_s = time.time() - t0
         report[f"{name}_ate_rmse_m"] = round(float(ate), 5)
         report[f"{name}_ate_pct_path"] = round(100 * float(ate) / path_len, 3)
         report[f"{name}_mean_tracked"] = round(
             float(np.mean(np.asarray(outs.num_tracked))), 1)
-        report[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        report[f"{name}_wall_s"] = round(wall_first, 1)
+        report[f"{name}_run_s"] = round(run_s, 1)
+        report[f"{name}_compile_s"] = round(wall_first - run_s, 1)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ate.json")
     with open(out, "w") as f:

@@ -1,0 +1,100 @@
+"""Batch-throughput curve + profiler trace for the data-parallel engine.
+
+VERDICT r3 next-round #4: batch-16 aggregate was 2.06x the single-
+sequence fps against a >=8x target, and the serializer was never
+identified.  This script measures the B in {1, 4, 16, 64} aggregate-fps
+curve at the bench operating point and (optionally, --trace) records a
+jax.profiler trace of the B=16 case for op-level attribution.
+
+Writes benchmarks/batch_scaling.json.  Run on hardware:
+    python benchmarks/batch_scaling.py [--trace]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ekf_vio_tpu import engine  # noqa: E402
+from ekf_vio_tpu.config import VIOConfig  # noqa: E402
+from ekf_vio_tpu.frontend import camera as cam_mod  # noqa: E402
+from ekf_vio_tpu.parallel.batched_engine import run_sequences_batched  # noqa: E402
+
+W_IN, H_IN, N_FRAMES = 640, 480, 120
+
+
+def make_frames(seed=0):
+    import scipy.ndimage as ndi
+
+    rng = np.random.RandomState(seed)
+    shift = 2.0
+    shape = (H_IN + 64, W_IN + 64 + int(shift * N_FRAMES) + 8)
+    smooth = ndi.gaussian_filter(rng.uniform(0, 255, shape), 2.0)
+    blobs = (ndi.gaussian_filter(rng.uniform(0, 1, shape), 6.0) > 0.5) * 150.0
+    big = 0.4 * smooth + blobs + 30.0
+    big = ((big - big.min()) / (np.ptp(big) + 1e-9) * 255.0).astype(np.float32)
+    frames = np.stack(
+        [big[32:32 + H_IN,
+             32 + int(round(shift * i)):32 + int(round(shift * i)) + W_IN]
+         for i in range(N_FRAMES)])
+    return frames, np.arange(N_FRAMES, dtype=np.float32) / 20.0
+
+
+def main():
+    do_trace = "--trace" in sys.argv
+    cfg = VIOConfig(max_features=128, min_new_feature_dist=8.0,
+                    fast_threshold=30)
+    s = cfg.inverse_image_scale
+    w, h = W_IN // s, H_IN // s
+    cam = engine.make_hashable_camera(
+        [[458.0 / s, 0, w / 2], [0, 458.0 / s, h / 2], [0, 0, 1]], w, h)
+
+    frames, times = make_frames()
+    small = jax.jit(lambda x: cam_mod.downscale_image(x, s))(
+        jnp.asarray(frames))
+    jax.block_until_ready(small)
+
+    report = {"device": str(jax.devices()[0]), "frames": N_FRAMES,
+              "config": "640x480/4, 128 slots"}
+    fps1 = None
+    for b in (1, 4, 16, 64):
+        imgs_b = jnp.broadcast_to(small, (b,) + small.shape)
+        ts_b = jnp.broadcast_to(jnp.asarray(times), (b, N_FRAMES))
+        _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+        jax.block_until_ready(outs)
+        t0 = time.time()
+        _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        fps = b * (N_FRAMES - 1) / dt
+        if b == 1:
+            fps1 = fps
+        report[f"b{b}_aggregate_fps"] = round(fps, 1)
+        report[f"b{b}_speedup"] = round(fps / fps1, 2)
+        print(f"B={b}: {fps:.1f} fps aggregate ({fps / fps1:.2f}x)")
+
+        if do_trace and b == 16:
+            trace_dir = "/tmp/jax_trace_b16"
+            with jax.profiler.trace(trace_dir):
+                _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+                jax.block_until_ready(outs)
+            report["trace_dir"] = trace_dir
+            print("trace written to", trace_dir)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "batch_scaling.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

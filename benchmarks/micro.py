@@ -81,14 +81,30 @@ def main():
             lambda st: ekf.predict(st, cfg, 0.05), s)
 
     # --- partial-measurement update (half the features fail;
-    #     test_ekf.cpp partially-measured case)
+    #     test_ekf.cpp partially-measured case) — masked full-shape
+    #     factorization vs the compacted (budget) path that gathers the
+    #     measured subset first (TightlyCoupledEKF.cpp:486-541 semantics)
     cfg = VIOConfig(max_features=103)
     s = full_state(cfg)
     cov = jnp.tile(jnp.eye(2) * 1e-5, (103, 1, 1))
     passed = jnp.arange(103) % 2 == 0
-    f = jax.jit(lambda st, z: ekf.update_with_feature_positions(
-        st, cfg, z, cov, passed))
-    report["ekf_update_103feat_half_measured"] = timeit(f, s, s.feat_mu[:, :2])
+    report["ekf_update_103feat_half_measured"] = timeit_device(
+        lambda st: ekf.update_with_feature_positions(
+            st, cfg, st.feat_mu[:, :2], cov, passed), s)
+    report["ekf_update_103feat_half_measured_budget64"] = timeit_device(
+        lambda st: ekf.update_with_feature_positions(
+            st, cfg, st.feat_mu[:, :2], cov, passed, budget=64), s)
+    cfg503 = VIOConfig(max_features=503)
+    s503 = full_state(cfg503)
+    cov503 = jnp.tile(jnp.eye(2) * 1e-5, (503, 1, 1))
+    passed503 = jnp.arange(503) % 4 == 0  # 126 of 503 measured
+    report["ekf_update_503feat_quarter_measured"] = timeit_device(
+        lambda st: ekf.update_with_feature_positions(
+            st, cfg503, st.feat_mu[:, :2], cov503, passed503), s503)
+    report["ekf_update_503feat_quarter_measured_budget128"] = timeit_device(
+        lambda st: ekf.update_with_feature_positions(
+            st, cfg503, st.feat_mu[:, :2], cov503, passed503, budget=128),
+        s503)
 
     # --- KLT @ 640x480, 128 features
     rng = np.random.RandomState(0)

@@ -48,6 +48,14 @@ class VIOConfig:
     # wrong depth prior from poisoning the velocity estimate.
     bootstrap_max_age: int = 20          # frames a feature stays eligible
     bootstrap_depth_sigma_rel: float = 0.25  # re-init σ_ρ = rel · ρ
+    # Mean-quality gate for two-view depths: accept the triangulated mean
+    # only when its expected relative error (σ_angle/parallax, see
+    # core/depth_init.triangulate_depths) is below this — near-degenerate
+    # pairs otherwise enter at wrong linearization points that poison the
+    # transport Jacobians (the r3 ATE transients).  Measured on the
+    # rendered benchmark: 0.5 beats 2.0 by 17% ATE (the marginal means a
+    # looser gate admits carry more error than the default fallback).
+    triangulation_max_rel_error: float = 0.5
     # closed-form visual-inertial alignment (core/vi_init.py)
     vi_init_frames: int = 10             # frames consumed by the initializer
     # Gauss-Newton IMU-bias refinement inside the alignment
@@ -122,6 +130,12 @@ class VIOConfig:
     # per-step cost of the covariance form (QR vs matmul+chol); use when
     # conditioning matters more than speed (large N, long sequences).
     square_root_form: bool = False
+    # Joseph-form realization in core/update.py:
+    #   "expanded" — Σ − KAᵀ − AKᵀ + K S Kᵀ (rank-2M, fewer FLOPs)
+    #   "product"  — (I−KH)Σ(I−KH)ᵀ + KRKᵀ  (materialized, the exact
+    #   arrangement the reference commits to, TightlyCoupledEKF.cpp:586-596;
+    #   guaranteed-PSD under roundoff)
+    joseph_form: str = "expanded"
     sigma_jitter: float = 0.0        # optional absolute diagonal jitter on S
     # Relative spectral floor on S: λ = sigma_jitter_rel · max(diag S).
     # f32 formation of S = HΣHᵀ+R carries relative error ~ε·λmax, so

@@ -88,12 +88,22 @@ def refine_depth_gn(h1, h2, R, t, z0, iters: int = 5):
 
 
 def triangulate_depths(h_prev, h_cur, base_mu, dt, default_depth: float,
-                       refine: bool = True, Rt=None):
+                       refine: bool = True, Rt=None, return_rel_sigma=False):
     """Frame-*current* depths for new features seen in both frames.
 
-    Returns (z_cur [N], used_triangulation [N]): triangulated where
-    well-conditioned (with parallax), the prior default elsewhere —
-    matching the reference's fallback (TightlyCoupledEKF.cpp:78-79).
+    Returns (z_cur [N], used_triangulation [N]) — and, with
+    ``return_rel_sigma``, additionally the per-feature RELATIVE depth
+    standard error per unit angular measurement noise:
+
+        σ_z / z ≈ σ_angle · rel_sigma,   rel_sigma = 1 / |[h2]× R h1|
+
+    (first-order: the depth solve divides the baseline-induced epipolar
+    offset by the ray-crossing magnitude, so angular noise amplifies by
+    1/parallax).  Callers scale the new feature's depth-prior variance by
+    this instead of trusting a constant — two-view triangulation from
+    consecutive frames is near-degenerate (parallax ~ σ) and a
+    confidently-wrong depth transported through the filter is the failure
+    mode a constant prior invites.
 
     Rt, when given, is the exact inter-frame camera motion (R, t) —
     mandatory under IMU propagation, where the dt·vel reconstruction of
@@ -108,4 +118,11 @@ def triangulate_depths(h_prev, h_cur, base_mu, dt, default_depth: float,
     h1h = jnp.concatenate([h_prev, jnp.ones_like(h_prev[..., :1])], -1)
     z_cur = jnp.einsum("ij,...j->...i", R, h1h)[..., 2] * z1 + t[2]
     z_cur = jnp.clip(z_cur, MIN_POINT_Z, MAX_POINT_Z)
-    return jnp.where(ok, z_cur, default_depth), ok
+    z_out = jnp.where(ok, z_cur, default_depth)
+    if not return_rel_sigma:
+        return z_out, ok
+    h2h = jnp.concatenate([h_cur, jnp.ones_like(h_cur[..., :1])], -1)
+    rh1 = jnp.einsum("ij,...j->...i", R, h1h)
+    cross = jnp.linalg.norm(jnp.cross(h2h, rh1), axis=-1)
+    rel_sigma = 1.0 / jnp.maximum(cross, 1e-6)
+    return z_out, ok, rel_sigma

@@ -34,17 +34,20 @@ from ekf_vio_tpu.core.update import (
 )
 
 
-def update_with_feature_positions(state, cfg, measured_uv, meas_cov, passed):
+def update_with_feature_positions(state, cfg, measured_uv, meas_cov, passed,
+                                  budget=None):
     """EKF update, dispatching on VIOConfig.square_root_form: the dense
     covariance-form update (core/update.py) or the QR square-root array
     update (core/sqrt_filter.py) — identical semantics, different
-    conditioning/cost tradeoff."""
+    conditioning/cost tradeoff.  ``budget`` (static) compacts the measured
+    subset before factorization (dense path; see core/update.py)."""
     if cfg.square_root_form:
         from ekf_vio_tpu.core import sqrt_filter
 
         return sqrt_filter.update_sqrt(state, cfg, measured_uv, meas_cov,
                                        passed)
-    return _update_covariance_form(state, cfg, measured_uv, meas_cov, passed)
+    return _update_covariance_form(state, cfg, measured_uv, meas_cov, passed,
+                                   budget)
 
 
 def predict(state: FilterState, cfg: VIOConfig, dt) -> FilterState:

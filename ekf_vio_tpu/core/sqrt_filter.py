@@ -17,14 +17,30 @@ cancellation-prone operation of the covariance form:
   spectral floor the covariance-form update needs on TPU
   (VIOConfig.sigma_jitter_rel) is unnecessary here and not applied.
 
-State representation: the FilterState keeps a *dense* Σ at every API
-boundary (engine, checkpointing, slot add/drop and the sharded paths all
-operate on Σ unchanged); each sqrt step factors on entry and squares on
-exit.  Exactly-zero diagonal entries (the anchored pose gauge at init,
-freed feature slots) are PSD-isolated rows, so they are stabilized with a
-temporary unit diagonal that passes through both steps exactly and is
-subtracted back off — the factorization itself never sees a singular
-matrix.
+State representation (round 4, persistent factor): with
+``VIOConfig.square_root_form`` the engine keeps the LOWER CHOLESKY FACTOR
+``L`` in ``FilterState.Sigma`` ACROSS steps — factored once at
+initialization (``to_factor``) and never re-squared in the loop:
+
+* predict:   L' = tria([F L | √Q])                      (one QR)
+* update:    the QR array algorithm below                (one QR)
+* drop:      zero the dropped slots' ROWS of L — exact: Σ row/col r
+             vanish and every other entry is untouched (the stale
+             below-diagonal column entries L[j,r] encode legitimate
+             correlations among the survivors and stay)
+* add/boot:  Σ' = PΣPᵀ + diag(prior) on the wiped rows is
+             L' = tria([P L | √prior·e_r ...]) — one QR re-
+             triangularization (``wipe_rows_factor``)
+
+Rows of exactly-zero variance (the anchored pose gauge, freed slots) are
+zero rows of L throughout; QR propagates them as zero columns of the
+pre-array with no stabilization needed.  ``to_covariance`` squares the
+factor for output/checkpoint consumers.
+
+The legacy dense-boundary entry points (predict_sqrt / update_sqrt) are
+kept as to_factor → factor op → to_covariance wrappers: they remain the
+ground truth the parity tests pin, and what the facade uses when a caller
+hands over a dense Σ.
 
 Orthogonal transforms cannot amplify error, so the factor-space steps are
 backward-stable where the covariance form loses ~half the working
@@ -58,10 +74,53 @@ def _stabilized_chol(Sigma):
     return jnp.linalg.cholesky(Sigma + jnp.diag(pad)), pad
 
 
+def _tria(pre_T: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular factor of pre_Tᵀ·pre_T via one QR (pre_T: [M, D]),
+    with the diagonal sign-normalized nonnegative."""
+    R = jnp.linalg.qr(pre_T, mode="r")
+    s = jnp.sign(jnp.diagonal(R))
+    s = jnp.where(s == 0, 1.0, s)
+    return (R * s[:, None]).T
+
+
+def to_factor(state: FilterState) -> FilterState:
+    """Dense-Σ state → factor state (Sigma field holds lower L).
+
+    Exactly-zero-variance rows (PSD ⇒ whole row/col zero) become zero
+    rows of L."""
+    L, pad = _stabilized_chol(state.Sigma)
+    return state.replace(Sigma=L * (1.0 - pad)[:, None])
+
+
+def to_covariance(state: FilterState) -> FilterState:
+    """Factor state → dense-Σ state."""
+    L = state.Sigma
+    Sigma = L @ L.T
+    return state.replace(Sigma=0.5 * (Sigma + Sigma.T))
+
+
+def sigma_diag_factor(L: jnp.ndarray) -> jnp.ndarray:
+    """diag(LLᵀ) without squaring: row norms²."""
+    return jnp.sum(L * L, axis=1)
+
+
+def wipe_rows_factor(L: jnp.ndarray, wipe: jnp.ndarray,
+                     new_diag: jnp.ndarray) -> jnp.ndarray:
+    """Factor-space analog of zeroing Σ rows/cols ``wipe`` and setting
+    their diagonal to ``new_diag``: L' = tria([P L | √new_diag e_r ...]).
+
+    wipe: [D] bool/float row selector; new_diag: [D] variances (read only
+    at wiped rows).  One [2D, D] QR.
+    """
+    w = wipe.astype(L.dtype)
+    L1 = L * (1.0 - w)[:, None]
+    add = jnp.diag(jnp.sqrt(jnp.maximum(new_diag, 0.0)) * w)
+    return _tria(jnp.concatenate([L1.T, add], axis=0))
+
+
 @jax.default_matmul_precision("float32")
-def predict_sqrt(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
-    """Square-root process step: same mean transport as filter.predict,
-    covariance via one QR instead of the FΣFᵀ triple product."""
+def predict_sqrt_factor(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
+    """Factor-native process step: L' = tria([F L | √Q])."""
     dt = jnp.asarray(dt, state.base_mu.dtype)
 
     Fb, Ffb, Ff = dynamics.process_jacobian_blocks(state.base_mu,
@@ -76,31 +135,69 @@ def predict_sqrt(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
                                          cfg).astype(state.Sigma.dtype)
 
     F = dynamics.build_dense_F(Fb, Ffb, Ff)
-    L, pad = _stabilized_chol(state.Sigma)
-    # tria([F L | √Q]): R of the stacked [2D, D] pre-array; Σ' = RᵀR.
+    L = state.Sigma
     A = jnp.concatenate([(F @ L).T, jnp.diag(jnp.sqrt(q_diag))], axis=0)
-    R = jnp.linalg.qr(A, mode="r")
-    Sigma = R.T @ R - jnp.diag(pad)
-    Sigma = 0.5 * (Sigma + Sigma.T)
-
-    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Sigma,
+    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=_tria(A),
                          t=state.t + dt)
 
 
 @jax.default_matmul_precision("float32")
-def update_sqrt(
+def propagate_imu_factor(state: FilterState, cfg: VIOConfig, batch,
+                         gravity_w, lin_base=None):
+    """Factor-native compound IMU propagation (the sqrt twin of
+    imu.propagate_imu_batch_with_motion): one QR of
+
+        [ (F L)ᵀ ; (T·chol(Q29))ᵀ ; diag(√q_feat) ]
+
+    where T = [[I₂₂, 0], [0, Wm]] maps the 29-dim compound noise onto the
+    state.  Returns (state', qt)."""
+    from ekf_vio_tpu.config import BASE_STATE_SIZE as nb
+    from ekf_vio_tpu.core import imu as imu_mod
+
+    dtype = state.Sigma.dtype
+    base_mu, qt, qt_lin, J, Q29, total_dt = imu_mod.compound_interval(
+        state.base_mu, cfg, batch, gravity_w, dtype, lin_base=lin_base)
+
+    Fb = J[:nb, :nb]
+    new_feat = jax.vmap(imu_mod._compound_transport, in_axes=(0, None))(
+        state.feat_mu, qt)
+    _, Ff, W = dynamics.transport_jacobians(state.feat_mu, qt_lin)
+    Ffb = jnp.einsum("nij,jb->nib", W, J[nb:, :nb])
+    Ffb, Ff = dynamics.mask_feature_jacobians(Ffb, Ff, state.active)
+    W = jnp.where(state.active[:, None, None], W, 0.0)
+
+    q_feat = jnp.where(state.active[:, None], cfg.q_feature, 0.0) * jnp.ones(
+        (state.n_max, 3), dtype) * total_dt
+    q_diag = jnp.concatenate([jnp.zeros(nb, dtype), q_feat.reshape(-1)])
+
+    # noise factor: Q_total = T Q29 Tᵀ with T = [[I, 0], [0, Wm]]
+    jit29 = 1e-12 * jnp.maximum(jnp.max(jnp.diagonal(Q29)), 1e-30)
+    C29 = jnp.linalg.cholesky(Q29 + jit29 * jnp.eye(29, dtype=dtype))
+    Wm = W.reshape(3 * state.n_max, 7)
+    TC = jnp.concatenate(
+        [C29[:nb, :], Wm @ C29[nb:, :]], axis=0)          # [D, 29]
+
+    F = dynamics.build_dense_F(Fb, Ffb, Ff)
+    L = state.Sigma
+    A = jnp.concatenate(
+        [(F @ L).T, TC.T, jnp.diag(jnp.sqrt(q_diag))], axis=0)
+    Lp = _tria(A)
+
+    feat_mu = jnp.where(state.active[:, None], new_feat, state.feat_mu)
+    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Lp,
+                         t=state.t + total_dt), qt
+
+
+@jax.default_matmul_precision("float32")
+def update_sqrt_factor(
     state: FilterState,
     cfg: VIOConfig,
     measured_uv: jnp.ndarray,  # [N_max, 2]
     meas_cov: jnp.ndarray,     # [N_max, 2, 2]
     passed: jnp.ndarray,       # [N_max] bool
 ) -> FilterState:
-    """Masked square-root measurement update (QR array algorithm).
-
-    Semantics match update.update_with_feature_positions (selector H on
-    the (u,v) slots, Joseph-consistent posterior, failed features
-    contribute nothing); only the arithmetic differs.
-    """
+    """Factor-native masked QR-array measurement update (state.Sigma holds
+    L in AND out)."""
     n = state.n_max
     d = state.state_dim
     uv_idx, _ = feature_rowcol_indices(n)
@@ -111,11 +208,9 @@ def update_sqrt(
     mu = state.mu_flat()
     y = (measured_uv.reshape(-1) - mu[uv_idx]) * m
 
-    L, pad = _stabilized_chol(state.Sigma)
+    L = state.Sigma
     HL = L[uv_idx, :] * m[:, None]                      # [2N, D]
 
-    # √R block-diagonal: per-feature 2×2 Cholesky; unmeasured rows get the
-    # identity so the post-array stays well posed with zero gain columns.
     Rc_blocks = jnp.linalg.cholesky(
         meas_cov + 1e-30 * jnp.eye(2, dtype=meas_cov.dtype))
     Rc = block_diag_R(Rc_blocks)
@@ -129,23 +224,20 @@ def update_sqrt(
             jnp.concatenate([HL.T, L.T], axis=1),
         ],
         axis=0,
-    )  # [(2N+D), (2N+D)]
+    )
     U = jnp.linalg.qr(pre_T, mode="r")
-    post = U.T  # lower: [[S^c, 0], [G, L']]
+    post = U.T
 
     Sc = post[:two_n, :two_n]
     G = post[two_n:, :two_n]
     Lp = post[two_n:, two_n:]
 
     e = solve_triangular(Sc, y, lower=True)
-    # NumericalIssue guard (TightlyCoupledEKF.cpp:579): skip on failure.
     ok = jnp.isfinite(e).all() & jnp.isfinite(G).all()
     e = jnp.where(ok, e, 0.0)
 
     mu = mu + G @ e
-    Sigma = Lp @ Lp.T - jnp.diag(pad)
-    Sigma = jnp.where(ok, Sigma, state.Sigma)
-    Sigma = 0.5 * (Sigma + Sigma.T)
+    Lp = jnp.where(ok, Lp, state.Sigma)
 
     qn = jnp.linalg.norm(mu[3:7])
     mu = mu.at[3:7].divide(qn)
@@ -154,5 +246,97 @@ def update_sqrt(
     feat_mu = mu[BASE_STATE_SIZE:].reshape(n, 3)
     klt_ref = jnp.where(meas[:, None], measured_uv, state.klt_ref)
 
-    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Sigma,
+    return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Lp,
                          klt_ref=klt_ref)
+
+
+def drop_features_factor(state: FilterState, drop: jnp.ndarray) -> FilterState:
+    """Factor-space slot free: zero the dropped slots' ROWS of L.
+
+    Exact without any QR: with row r of L zero, Σ = LLᵀ has zero row and
+    column r while every other entry keeps its value (the below-diagonal
+    column entries L[j, r] contribute only to surviving correlations)."""
+    from ekf_vio_tpu.core import state as state_mod
+
+    n = state.n_max
+    _, uvr = state_mod.feature_rowcol_indices(n)
+    drop = drop & state.active
+    drop3 = jnp.repeat(drop, 3)
+    keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
+        1.0 - drop3.astype(state.Sigma.dtype))
+    L = state.Sigma * keep[:, None]
+    return state.replace(active=state.active & ~drop, Sigma=L)
+
+
+def add_features_factor(state: FilterState, cfg: VIOConfig,
+                        new_uv: jnp.ndarray, valid: jnp.ndarray,
+                        depths: jnp.ndarray | None = None,
+                        depth_vars: jnp.ndarray | None = None) -> FilterState:
+    """Factor-space add_features: same slot assignment and mean/bookkeeping
+    semantics as state.add_features, with the Σ wipe + diagonal prior
+    realized as ONE QR re-triangularization (wipe_rows_factor)."""
+    from ekf_vio_tpu.core import state as state_mod
+
+    n = state.n_max
+    take, src = state_mod.plan_insertion(state.active, valid)
+
+    if depths is None:
+        rho = jnp.full((n, 1), 1.0 / cfg.default_point_depth,
+                       state.feat_mu.dtype)
+    else:
+        rho = (1.0 / jnp.clip(depths[src], 1e-3, 1e3))[:, None]
+    new_mu = jnp.concatenate([new_uv[src], rho], axis=-1)
+
+    feat_mu = jnp.where(take[:, None], new_mu, state.feat_mu)
+    klt_ref = jnp.where(take[:, None], new_uv[src], state.klt_ref)
+    active = state.active | take
+
+    _, uvr = state_mod.feature_rowcol_indices(n)
+    take3 = jnp.repeat(take, 3)
+    wipe = jnp.zeros((state.state_dim,), state.Sigma.dtype).at[uvr].set(
+        take3.astype(state.Sigma.dtype))
+    if depth_vars is None:
+        dvar = jnp.full((n,), cfg.default_point_depth_variance,
+                        state.Sigma.dtype)
+    else:
+        dvar = jnp.clip(depth_vars[src], 1e-8,
+                        cfg.default_point_depth_variance)
+    prior3 = jnp.stack(
+        [jnp.full((n,), cfg.default_point_homogenous_variance,
+                  state.Sigma.dtype),
+         jnp.full((n,), cfg.default_point_homogenous_variance,
+                  state.Sigma.dtype),
+         dvar], axis=-1).reshape(-1)
+    new_diag = jnp.zeros((state.state_dim,), state.Sigma.dtype).at[uvr].set(
+        prior3)
+    L = wipe_rows_factor(state.Sigma, wipe, new_diag)
+
+    age = jnp.where(take, 0, state.age)
+    return state.replace(feat_mu=feat_mu, active=active, klt_ref=klt_ref,
+                         Sigma=L, age=age)
+
+
+@jax.default_matmul_precision("float32")
+def predict_sqrt(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
+    """Dense-boundary square-root process step (legacy wrapper):
+    factor on entry, one QR, square on exit."""
+    return to_covariance(predict_sqrt_factor(to_factor(state), cfg, dt))
+
+
+def update_sqrt(
+    state: FilterState,
+    cfg: VIOConfig,
+    measured_uv: jnp.ndarray,  # [N_max, 2]
+    meas_cov: jnp.ndarray,     # [N_max, 2, 2]
+    passed: jnp.ndarray,       # [N_max] bool
+) -> FilterState:
+    """Dense-boundary masked square-root measurement update (legacy
+    wrapper around the factor-native QR array update).
+
+    Semantics match update.update_with_feature_positions (selector H on
+    the (u,v) slots, Joseph-consistent posterior, failed features
+    contribute nothing); only the arithmetic differs.
+    """
+    return to_covariance(
+        update_sqrt_factor(to_factor(state), cfg, measured_uv, meas_cov,
+                           passed))

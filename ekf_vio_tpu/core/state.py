@@ -97,6 +97,30 @@ def init_state(cfg: VIOConfig, t0: float = 0.0, dtype=jnp.float32) -> FilterStat
     )
 
 
+def plan_insertion(active: jnp.ndarray, valid: jnp.ndarray):
+    """Slot assignment for feature insertion (shared by the covariance- and
+    factor-form add_features): candidate j goes to the j-th free slot.
+
+    Returns (take [N] bool — slots that get filled, src [N] int32 — which
+    candidate index each slot receives).  Computed with cumsums so shapes
+    stay static.
+    """
+    k = valid.shape[0]
+    free = ~active  # [N]
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1   # rank among free
+    cand_rank = jnp.cumsum(valid.astype(jnp.int32)) - 1  # rank among valid
+    n_free = jnp.sum(free.astype(jnp.int32))
+    n_cand = jnp.sum(valid.astype(jnp.int32))
+    n_insert = jnp.minimum(n_free, n_cand)
+
+    take = free & (free_rank < n_insert)                 # slots that fill
+    cand_idx_of_rank = jnp.zeros((k,), jnp.int32).at[
+        jnp.where(valid, cand_rank, k)].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop")
+    src = cand_idx_of_rank[jnp.clip(free_rank, 0, k - 1)]  # [N]
+    return take, src
+
+
 def feature_rowcol_indices(n_max: int):
     """Static index vectors into the flat state for feature sub-blocks."""
     base = BASE_STATE_SIZE + 3 * jnp.arange(n_max)
@@ -108,6 +132,7 @@ def feature_rowcol_indices(n_max: int):
 def add_features(
     state: FilterState, cfg: VIOConfig, new_uv: jnp.ndarray, valid: jnp.ndarray,
     depths: jnp.ndarray | None = None,
+    depth_vars: jnp.ndarray | None = None,
 ) -> FilterState:
     """Insert up to K new features into free slots.
 
@@ -123,27 +148,13 @@ def add_features(
       valid:  [K] bool — which candidates are real (static-shape padding).
       depths: optional [K] per-candidate initial depths (triangulated —
         see core/depth_init.py); defaults to the constant prior.
+      depth_vars: optional [K] per-candidate ρ-prior variances matched to
+        the triangulation geometry (σ_ρ ≈ ρ·σ_angle/parallax) — a
+        constant prior on a near-degenerate two-view depth invites
+        confidently-wrong features; defaults to the constant prior.
     """
     n = state.n_max
-    k = new_uv.shape[0]
-
-    free = ~state.active  # [N]
-    # Rank free slots and valid candidates; candidate j goes to the j-th free
-    # slot. Assignment is computed with cumsums so shapes stay static.
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # rank of each slot among free
-    cand_rank = jnp.cumsum(valid.astype(jnp.int32)) - 1       # rank of each candidate among valid
-    n_free = jnp.sum(free.astype(jnp.int32))
-    n_cand = jnp.sum(valid.astype(jnp.int32))
-    n_insert = jnp.minimum(n_free, n_cand)
-
-    # slot i receives candidate with cand_rank == free_rank[i], if both valid.
-    take = free & (free_rank < n_insert)                      # [N] slots that get filled
-    # For each slot, which candidate index? Build via searchsorted over ranks.
-    cand_idx_of_rank = jnp.zeros((k,), jnp.int32).at[jnp.where(valid, cand_rank, k)].set(
-        jnp.arange(k, dtype=jnp.int32), mode="drop"
-    )
-    # Guard: for rank r, cand_idx_of_rank[r] = index of the r-th valid candidate.
-    src = cand_idx_of_rank[jnp.clip(free_rank, 0, k - 1)]     # [N]
+    take, src = plan_insertion(state.active, valid)
 
     if depths is None:
         rho = jnp.full((n, 1), 1.0 / cfg.default_point_depth,
@@ -165,15 +176,22 @@ def add_features(
     keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
         1.0 - take3.astype(state.Sigma.dtype))
     Sigma = state.Sigma * (keep[:, None] * keep[None, :])
+    if depth_vars is None:
+        dvar = jnp.full((n,), cfg.default_point_depth_variance, Sigma.dtype)
+    else:
+        dvar = jnp.clip(depth_vars[src], 1e-8,
+                        cfg.default_point_depth_variance)
     prior = jnp.where(
         take[:, None],
-        jnp.array(
+        jnp.stack(
             [
-                cfg.default_point_homogenous_variance,
-                cfg.default_point_homogenous_variance,
-                cfg.default_point_depth_variance,
+                jnp.full((n,), cfg.default_point_homogenous_variance,
+                         Sigma.dtype),
+                jnp.full((n,), cfg.default_point_homogenous_variance,
+                         Sigma.dtype),
+                dvar,
             ],
-            Sigma.dtype,
+            axis=-1,
         ),
         0.0,
     ).reshape(-1)

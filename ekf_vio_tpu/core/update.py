@@ -50,6 +50,7 @@ def update_with_feature_positions(
     measured_uv: jnp.ndarray,  # [N_max, 2] metric positions from the tracker
     meas_cov: jnp.ndarray,     # [N_max, 2, 2] per-feature measurement covariance
     passed: jnp.ndarray,       # [N_max] bool — tracker success (status + border)
+    budget: int | None = None,
 ) -> FilterState:
     """Masked EKF update (analog of TightlyCoupledEKF.cpp:475-628).
 
@@ -58,19 +59,43 @@ def update_with_feature_positions(
     (TightlyCoupledEKF.cpp:525-529) and never reclaims the slot; here the
     slot is freed by the caller via ``drop_features``.
 
+    ``budget`` (static) compacts the measured subset before factorization:
+    measured slots are gathered to the front (stable argsort of the mask)
+    and only a ``[2·budget, 2·budget]`` system is factorized — the analog
+    of the reference building H from passed features only
+    (TightlyCoupledEKF.cpp:486-541), recovering the O((2M)³) cost when
+    M ≪ N.  Exact (bit-identical gains) whenever the measured count fits
+    the budget; measured features beyond it are left uncorrected for the
+    frame (they stay active and measured again next frame).  Default:
+    no compaction (budget = N_max).
+
     Runs at HIGHEST matmul precision: default MXU bf16 passes cannot hold
     the covariance spectrum (1e-5..1e2) and NaN the filter on hardware.
     """
-    return _update_f32(state, cfg, measured_uv, meas_cov, passed)
+    return _update_f32(state, cfg, measured_uv, meas_cov, passed, budget)
 
 
 @jax.default_matmul_precision("float32")
-def _update_f32(state, cfg, measured_uv, meas_cov, passed):
-    n = state.n_max
+def _update_f32(state, cfg, measured_uv, meas_cov, passed, budget=None):
+    n_full = state.n_max
     d = state.state_dim
-    uv_idx, _ = feature_rowcol_indices(n)
+    meas_full = passed & state.active                 # [N]
 
-    meas = passed & state.active                      # [N]
+    if budget is not None and budget < n_full:
+        n = budget
+        # stable argsort of ~meas: measured slots first, in slot order
+        order = jnp.argsort(~meas_full, stable=True)
+        idx_c = order[:n]                             # [B] slot indices
+        uv_idx = (BASE_STATE_SIZE + 3 * idx_c[:, None]
+                  + jnp.arange(2)[None, :]).reshape(-1)   # [2B]
+        meas = meas_full[idx_c]
+        measured_uv = measured_uv[idx_c]
+        meas_cov = meas_cov[idx_c]
+    else:
+        n = n_full
+        uv_idx, _ = feature_rowcol_indices(n)
+        meas = meas_full
+
     m = jnp.repeat(meas, 2).astype(state.Sigma.dtype)  # [2N]
 
     mu = state.mu_flat()
@@ -103,16 +128,25 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed):
 
     mu = mu + K @ y
 
-    # Joseph form, expanded through the selector structure of H:
-    #   (I−KH)Σ(I−KH)ᵀ + KRKᵀ = Σ − K(HΣ) − (ΣHᵀ)Kᵀ + K(HΣHᵀ+R)Kᵀ
-    # with HΣ = Aᵀ and HΣHᵀ+R = S_true (the UNregularized masked S — the
-    # identity holds for ANY K, so the jittered factorization's gain stays
-    # exactly Joseph-consistent).  Identical algebra to the materialized
-    # (I−KH) product but rank-2M: ~221 vs ~352 MFLOP at D=406/2N=256, and
-    # no [D,D] scatter/eye passes.  d is unused only in this formulation.
-    del d
-    B = K @ A.T                                       # [D, D]
-    Sigma = state.Sigma - B - B.T + (K @ S_true) @ K.T
+    if cfg.joseph_form == "expanded":
+        # Joseph form, expanded through the selector structure of H:
+        #   (I−KH)Σ(I−KH)ᵀ + KRKᵀ = Σ − K(HΣ) − (ΣHᵀ)Kᵀ + K(HΣHᵀ+R)Kᵀ
+        # with HΣ = Aᵀ and HΣHᵀ+R = S_true (the UNregularized masked S —
+        # the identity holds for ANY K, so the jittered factorization's
+        # gain stays exactly Joseph-consistent).  Identical algebra to the
+        # materialized (I−KH) product but rank-2M: ~221 vs ~352 MFLOP at
+        # D=406/2N=256, and no [D,D] scatter/eye passes.
+        B = K @ A.T                                   # [D, D]
+        Sigma = state.Sigma - B - B.T + (K @ S_true) @ K.T
+    else:
+        # Materialized Joseph product (TightlyCoupledEKF.cpp:586-596):
+        # slightly more FLOPs but the subtraction happens in I−KH (norm
+        # ~1) BEFORE the quadratic form, so roundoff cannot push Σ
+        # indefinite — the conservative choice for accuracy studies.
+        KH = jnp.zeros((d, d), state.Sigma.dtype).at[:, uv_idx].set(K)
+        I_KH = jnp.eye(d, dtype=state.Sigma.dtype) - KH
+        R_full = block_diag_R(meas_cov) * mm
+        Sigma = I_KH @ state.Sigma @ I_KH.T + K @ R_full @ K.T
     Sigma = 0.5 * (Sigma + Sigma.T)
 
     # Quaternion renormalization (TightlyCoupledEKF.cpp:604-609).
@@ -120,10 +154,14 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed):
     mu = mu.at[3:7].divide(qn)
 
     base_mu = mu[:BASE_STATE_SIZE]
-    feat_mu = mu[BASE_STATE_SIZE:].reshape(n, 3)
+    feat_mu = mu[BASE_STATE_SIZE:].reshape(n_full, 3)
 
     # Cache tracker results for measured features (Feature.h:43 semantics).
-    klt_ref = jnp.where(meas[:, None], measured_uv, state.klt_ref)
+    if budget is not None and budget < n_full:
+        klt_ref = state.klt_ref.at[idx_c].set(
+            jnp.where(meas[:, None], measured_uv, state.klt_ref[idx_c]))
+    else:
+        klt_ref = jnp.where(meas[:, None], measured_uv, state.klt_ref)
 
     return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=Sigma, klt_ref=klt_ref)
 

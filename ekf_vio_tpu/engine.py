@@ -47,8 +47,17 @@ class StepOutputs(NamedTuple):
     tracking_lost: jnp.ndarray  # bool — too few tracks or non-finite state
 
 
-def _pose_cov_diag(filt: ekf.FilterState) -> jnp.ndarray:
-    return jnp.diag(filt.Sigma)[:7]
+def _sigma_diag(filt: ekf.FilterState, cfg: VIOConfig) -> jnp.ndarray:
+    """diag(Σ) for either state form (factor mode stores L in .Sigma)."""
+    if cfg.square_root_form:
+        from ekf_vio_tpu.core import sqrt_filter
+
+        return sqrt_filter.sigma_diag_factor(filt.Sigma)
+    return jnp.diag(filt.Sigma)
+
+
+def _pose_cov_diag(filt: ekf.FilterState, cfg: VIOConfig) -> jnp.ndarray:
+    return _sigma_diag(filt, cfg)[:7]
 
 
 def initialize(
@@ -67,6 +76,11 @@ def initialize(
     filt = ekf.add_features(filt, cfg, uv, valid)
     # seed the tracker cache with the detected positions
     filt = filt.replace(klt_ref=jnp.where(valid[:, None], uv, filt.klt_ref))
+
+    if cfg.square_root_form:  # factor once; the loop never re-factors
+        from ekf_vio_tpu.core import sqrt_filter
+
+        filt = sqrt_filter.to_factor(filt)
 
     pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
     return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(1),
@@ -97,7 +111,7 @@ def _recover_tracking_lost(filt: ekf.FilterState, cfg: VIOConfig, lost):
                   init_mu[3:7])
     base = base.at[3:7].set(q)
 
-    diag = jnp.diag(filt.Sigma)
+    diag = _sigma_diag(filt, cfg)
     safe = lambda d, fb: jnp.clip(jnp.where(jnp.isfinite(d), d, fb), 0.0, None)
     sig_diag = jnp.concatenate([
         safe(diag[:7], cfg.init_pose_variance),
@@ -106,10 +120,13 @@ def _recover_tracking_lost(filt: ekf.FilterState, cfg: VIOConfig, lost):
         jnp.zeros((3 * n,), dtype),
     ])
 
+    # diag(σ²) in covariance form; its own Cholesky diag(σ) in factor form
+    new_sigma = (jnp.diag(jnp.sqrt(sig_diag)) if cfg.square_root_form
+                 else jnp.diag(sig_diag))
     rec = filt.replace(
         base_mu=base,
         active=jnp.zeros((n,), bool),
-        Sigma=jnp.diag(sig_diag),
+        Sigma=new_sigma,
         age=jnp.zeros((n,), jnp.int32),
     )
     return jax.tree.map(lambda a, b: jnp.where(lost, b, a), filt, rec)
@@ -131,27 +148,36 @@ def step(
     mode — the capability the reference never wired up); otherwise the
     vision-driven random-walk process, matching reference behavior.
     """
+    sq = cfg.square_root_form  # factor-native mode: filt.Sigma holds L
+    if sq:
+        from ekf_vio_tpu.core import sqrt_filter
+
     filt = estate.filt
     filt = filt.replace(age=jnp.where(filt.active, filt.age + 1, 0))
     dt = jnp.maximum(t - filt.t, 0.0)  # dt >= 0 assert (EKFVIO.cpp:162)
 
     # --- predict (process, EKFVIO.cpp:163)
     frame_qt = None  # exact inter-frame camera motion (IMU mode)
+    predict_fn = sqrt_filter.predict_sqrt_factor if sq else ekf.predict
     if imu_batch is not None:
         from ekf_vio_tpu.core import imu as imu_mod
 
         lin = estate.lin_base if (cfg.use_fej and estate.lin_base
                                   is not None) else None
-        filt, frame_qt = imu_mod.propagate_imu_batch_with_motion(
-            filt, cfg, imu_batch, gravity_w, lin_base=lin)
+        if sq:
+            filt, frame_qt = sqrt_filter.propagate_imu_factor(
+                filt, cfg, imu_batch, gravity_w, lin_base=lin)
+        else:
+            filt, frame_qt = imu_mod.propagate_imu_batch_with_motion(
+                filt, cfg, imu_batch, gravity_w, lin_base=lin)
         # cover any remainder of the interval not spanned by IMU samples
         rem = jnp.maximum(t - filt.t, 0.0)
         filt = jax.tree.map(
             lambda a, b: jnp.where(rem > 1e-6, b, a),
-            filt, ekf.predict(filt, cfg, rem),
+            filt, predict_fn(filt, cfg, rem),
         )
     else:
-        filt = ekf.predict(filt, cfg, dt)
+        filt = predict_fn(filt, cfg, dt)
     filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
     # FEJ anchor for the NEXT interval: this frame's prior estimate
     new_lin_base = filt.base_mu
@@ -180,34 +206,62 @@ def step(
         from ekf_vio_tpu.core import depth_init, lie
 
         Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
-        z_boot, tri_ok = depth_init.triangulate_depths(
+        z_boot, tri_ok, rel_sig = depth_init.triangulate_depths(
             filt.klt_ref, measured_uv, filt.base_mu, dt,
-            cfg.default_point_depth, Rt=Rt)
+            cfg.default_point_depth, Rt=Rt, return_rel_sigma=True)
         rho_new = 1.0 / z_boot
-        sig_tri = cfg.bootstrap_depth_sigma_rel * rho_new
+        # prior width matched to the triangulation geometry: two-view
+        # depth error amplifies angular noise by 1/parallax; a fixed
+        # relative sigma on a near-degenerate pair is a confidently-wrong
+        # prior (round-4 fix — the r3 vision/mono divergence transients
+        # traced to exactly such features)
+        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
+            cam.fx + cam.fy)
+        sig_tri = jnp.maximum(cfg.bootstrap_depth_sigma_rel,
+                              2.0 * sigma_ang * rel_sig) * rho_new
         disagrees = jnp.abs(rho_new - filt.feat_mu[:, 2]) > sig_tri
-        boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & passed
+        # mean-quality gate: accept the triangulated ρ only when its
+        # relative error is bounded (<50%) — the transport Jacobians
+        # linearize at the mean, so a 25x-wrong depth poisons F even
+        # under a wide prior
+        good = sigma_ang * rel_sig < cfg.triangulation_max_rel_error
+        boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & good & passed
                 & filt.active & disagrees)
 
         rho = jnp.where(boot, rho_new, filt.feat_mu[:, 2])
         rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
-        keep = jnp.ones((filt.state_dim,), filt.Sigma.dtype).at[rho_idx].set(
-            1.0 - boot.astype(filt.Sigma.dtype))
-        Sigma = filt.Sigma * (keep[:, None] * keep[None, :])
-        diag = jnp.diag(Sigma)[rho_idx]
-        Sigma = Sigma.at[rho_idx, rho_idx].set(
-            jnp.where(boot, sig_tri * sig_tri, diag))
+        if sq:
+            wipe = jnp.zeros((filt.state_dim,), filt.Sigma.dtype).at[
+                rho_idx].set(boot.astype(filt.Sigma.dtype))
+            new_diag = jnp.zeros((filt.state_dim,), filt.Sigma.dtype).at[
+                rho_idx].set(sig_tri * sig_tri)
+            Sigma = sqrt_filter.wipe_rows_factor(filt.Sigma, wipe, new_diag)
+        else:
+            keep = jnp.ones((filt.state_dim,), filt.Sigma.dtype).at[
+                rho_idx].set(1.0 - boot.astype(filt.Sigma.dtype))
+            Sigma = filt.Sigma * (keep[:, None] * keep[None, :])
+            diag = jnp.diag(Sigma)[rho_idx]
+            Sigma = Sigma.at[rho_idx, rho_idx].set(
+                jnp.where(boot, sig_tri * sig_tri, diag))
         filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(rho),
                             Sigma=Sigma)
 
     meas_cov = klt.measurement_covariance_metric(cam.fx, cam.fy, cfg.max_features, cfg)
     innov = ekf.innovation_stats(filt, measured_uv, passed)
-    filt = ekf.update_with_feature_positions(filt, cfg, measured_uv, meas_cov, passed)
+    if sq:
+        filt = sqrt_filter.update_sqrt_factor(filt, cfg, measured_uv,
+                                              meas_cov, passed)
+    else:
+        filt = ekf.update_with_feature_positions(filt, cfg, measured_uv,
+                                                 meas_cov, passed)
     num_tracked = jnp.sum((passed & filt.active).astype(jnp.int32))
 
     # failed features free their slots (closing the reference's
     # flag-but-never-erase gap, TightlyCoupledEKF.cpp:525-529)
-    filt = ekf.drop_features(filt, filt.active & ~passed)
+    if sq:
+        filt = sqrt_filter.drop_features_factor(filt, filt.active & ~passed)
+    else:
+        filt = ekf.drop_features(filt, filt.active & ~passed)
 
     # failure detection: the reference declares a tracking_lost flag but
     # never raises it (EKFVIO.h:55, logged at EKFVIO.cpp:192); here it is
@@ -215,7 +269,7 @@ def step(
     # on: the filter re-bootstraps instead of filtering on garbage.
     lost = (num_tracked < cfg.minimum_trackable_features) | ~jnp.isfinite(
         filt.base_mu
-    ).all() | ~jnp.isfinite(jnp.diagonal(filt.Sigma)).all()
+    ).all() | ~jnp.isfinite(_sigma_diag(filt, cfg)).all()
     if cfg.recover_on_tracking_lost:
         filt = _recover_tracking_lost(filt, cfg, lost)
         # a re-bootstrapped filter re-anchors its linearization point
@@ -228,6 +282,7 @@ def step(
     )
     cand_uv = cam_mod.pixel_to_metric(cam, cand_px)
     depths = None
+    depth_vars = None
     if cfg.triangulate_new_features:
         # two-view depth init: track candidates back into the previous
         # frame and triangulate against the filter's own frame-to-frame
@@ -241,20 +296,44 @@ def step(
         Rt = None
         if frame_qt is not None:  # exact IMU-integrated baseline
             Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
-        z_cur, tri_ok = depth_init.triangulate_depths(
+        z_cur, tri_ok, rel_sig = depth_init.triangulate_depths(
             h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth,
-            Rt=Rt)
-        depths = jnp.where(tri_ok & back.status, z_cur,
-                           cfg.default_point_depth)
+            Rt=Rt, return_rel_sigma=True)
+        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
+            cam.fx + cam.fy)
+        # mean-quality gate (see the boot path): only accept depths whose
+        # relative triangulation error is bounded
+        used = (tri_ok & back.status
+                & (sigma_ang * rel_sig < cfg.triangulation_max_rel_error))
+        depths = jnp.where(used, z_cur, cfg.default_point_depth)
+        # Depth-prior width from the triangulation geometry (σ_ρ ≈
+        # ρ·σ_angle/parallax, 2x safety), FLOORED by how much of the
+        # error model we actually know: with an exact IMU baseline the
+        # angular-noise model is the whole story (floor = the bootstrap
+        # relative sigma); vision-only triangulates against the filter's
+        # OWN velocity estimate (circular), so the prior stays near-
+        # uninformative (100% relative — measured: tight vision priors
+        # cost 31% ATE on the rendered benchmark).
+        rel_floor = cfg.bootstrap_depth_sigma_rel if Rt is not None else 1.0
+        sig_rho = jnp.maximum(2.0 * sigma_ang * rel_sig, rel_floor) \
+            / jnp.maximum(depths, 1e-3)
+        depth_vars = jnp.where(used, sig_rho * sig_rho,
+                               cfg.default_point_depth_variance)
     # add_features also seeds klt_ref for the new slots
-    filt = ekf.add_features(filt, cfg, cand_uv, cand_valid, depths=depths)
+    if sq:
+        filt = sqrt_filter.add_features_factor(
+            filt, cfg, cand_uv, cand_valid, depths=depths,
+            depth_vars=depth_vars)
+    else:
+        filt = ekf.add_features(filt, cfg, cand_uv, cand_valid,
+                                depths=depths, depth_vars=depth_vars)
 
     out = StepOutputs(
         base_mu=filt.base_mu,
         num_tracked=num_tracked,
         num_active=filt.num_active(),
         mean_innovation=innov,
-        pose_cov_diag=_pose_cov_diag(filt),
+        pose_cov_diag=_pose_cov_diag(filt, cfg),
         tracking_lost=lost,
     )
     return EngineState(filt=filt, prev_pyr=cur_pyr,
@@ -361,6 +440,11 @@ def initialize_imu(
                                     d[rho_idx]))
     idx = jnp.arange(filt.state_dim)
     filt = filt.replace(Sigma=filt.Sigma.at[idx, idx].set(d))
+
+    if cfg.square_root_form:  # factor once; the loop never re-factors
+        from ekf_vio_tpu.core import sqrt_filter
+
+        filt = sqrt_filter.to_factor(filt)
 
     return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(k),
                        lin_base=filt.base_mu)

@@ -250,6 +250,24 @@ def _track_level(prev_img, cur_img, q, g, valid, cfg: VIOConfig):
     return g, min_eig, err, in_bounds & inv_ok & within_patch
 
 
+def selected_backend(level0_shape, n: int, cfg: VIOConfig) -> str:
+    """Which tracker backend ``track`` dispatches to — 'pallas_lk',
+    'pallas_klt', or 'xla'.
+
+    The selection is a trace-time (static-shape) rule, so it can be
+    queried before running and ASSERTED by benchmarks: a silent
+    ``supported()`` fallback must fail the bench rather than quietly
+    change what the headline number measures.  ``track`` itself routes
+    through this function, so the two cannot diverge.
+    """
+    on_tpu = cfg.use_pallas_klt and jax.default_backend() == "tpu"
+    if on_tpu and pallas_lk.supported(level0_shape, n, cfg.klt_window_size):
+        return "pallas_lk"
+    if on_tpu and level0_shape[0] * level0_shape[1] >= 64 * 1024:
+        return "pallas_klt"
+    return "xla"
+
+
 def track(
     prev_pyr: tuple,
     cur_pyr: tuple,
@@ -286,17 +304,16 @@ def track(
     # the iteration loop — faster than the XLA path at every measured
     # size, and natively batched under vmap (the XLA path's per-iteration
     # selector tensors scale linearly with the batch).
-    if (cfg.use_pallas_klt and jax.default_backend() == "tpu"
-            and pallas_lk.supported(prev_pyr[0].shape, prev_pts.shape[0])):
+    backend = selected_backend(prev_pyr[0].shape, prev_pts.shape[0], cfg)
+    if backend == "pallas_lk":
         g2, ok2, err2, eig2 = pallas_lk.track(
             prev_pyr, cur_pyr, prev_pts, init_pts, valid, cfg)
         return TrackResult(points=g2, status=ok2, error=err2, min_eig=eig2)
 
     # The first-generation fused level kernel (frontend/pallas_klt.py) is
     # retained for whole-level tracking when the corr-table path cannot
-    # apply (feature counts off the block grid).
-    use_pallas = (cfg.use_pallas_klt and jax.default_backend() == "tpu"
-                  and prev_pyr[0].shape[0] * prev_pyr[0].shape[1] >= 64 * 1024)
+    # apply (feature counts off the block grid, large level-0 images).
+    use_pallas = backend == "pallas_klt"
 
     for lvl in range(top, -1, -1):
         s = float(2**lvl)

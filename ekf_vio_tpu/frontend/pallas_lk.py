@@ -314,7 +314,7 @@ def _iter_kernel(corr_ref, hinv_ref, a_ref, me_ref, co_ref,
     dx_iota = c_iota // _KR
     dy_iota = c_iota - dx_iota * _KR
 
-    def blend_w(base1, iot):                       # [B,1] -> [B,256]
+    def blend_w(base1, iot):                       # [B,1] -> [B,_TW]
         b0 = jnp.clip(jnp.floor(base1), 0.0, _DT - 2.0)
         f = jnp.clip(base1 - b0, 0.0, 1.0)
         b0i = b0.astype(jnp.int32)
@@ -542,13 +542,44 @@ def _make_tracker(level_shapes, win, iters, eps, min_eigen, interpret):
     return track_one
 
 
-def supported(level0_shape, n: int) -> bool:
-    """Fused-path applicability: feature count must tile the prep block;
-    images of any size work (padding guarantees interior patches), but
-    both padded level-0 images must fit VMEM alongside the working set."""
+def _prep_vmem_bytes(hp: int, wp: int) -> int:
+    """Estimated VMEM working set of one prep-kernel program (bytes).
+
+    Counts the terms that scale with the image dims — the two f32 level
+    images plus their bf16 casts, the row/col one-hot selectors and the
+    extracted row strips — and the image-independent intermediates
+    (corr-table bmm output T, the lane-shifted cs2 stack, patches).
+    Derived from the buffers in ``_prep_kernel``/``_patches_from_image``.
+    """
+    images = 2 * hp * wp * 4 + 2 * hp * wp * 2         # f32 + bf16 casts
+    rowsel = 2 * _BLK * PATCH * hp * 2                 # [B*40,H] bf16 ×2 imgs
+    rows = _BLK * PATCH * wp * 4 + _BLK * PATCH * wp * 2   # f32 + bf16 strip
+    colsel = _BLK * PATCH * wp * 2                     # [B,40,W] bf16
+    fixed = (_BLK * 42 * 576 * 4        # T (corr bmm output, f32)
+             + _BLK * 576 * 21 * 2      # cs2 lane-shift stack, bf16
+             + 3 * _BLK * PATCH * PATCH * 4            # ps/gx/gy f32
+             + _BLK * 2 * _TW * 4)                     # corr output
+    return images + rowsel + rows + colsel + fixed
+
+
+def supported(level0_shape, n: int, win: int = 21) -> bool:
+    """Fused-path applicability.
+
+    * the corr-table geometry (_PAD/_DT/_KR/_TW) is derived for the
+      reference's 21x21 window (Params.h:104) — other window sizes must
+      take the XLA path;
+    * feature count must tile the prep block;
+    * the estimated prep-kernel working set (padded level-0 images +
+      selector/correlation intermediates, ``_prep_vmem_bytes``) must fit
+      VMEM with margin.  640x480 level-0 exceeds this and falls back to
+      the level-wise pallas_klt kernel; the reference operating point
+      (÷4 => 160x120, Params.h:46) fits easily.
+    """
+    if win != 21:
+        return False
     h, w = level0_shape
     hp, wp = h + 2 * _PAD_IMG, w + 2 * _PAD_IMG
-    return n % _BLK == 0 and 2 * hp * wp * 4 <= 10 * 1024 * 1024
+    return n % _BLK == 0 and _prep_vmem_bytes(hp, wp) <= 12 * 1024 * 1024
 
 
 def track(prev_pyr, cur_pyr, prev_pts, init_pts, valid, cfg,

@@ -84,13 +84,18 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
         from ekf_vio_tpu.core import depth_init, lie
 
         Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
-        z_boot, tri_ok = depth_init.triangulate_depths(
+        z_boot, tri_ok, rel_sig = depth_init.triangulate_depths(
             filt.klt_ref, measured_uv, filt.base_mu, dt,
-            cfg.default_point_depth, Rt=Rt)
+            cfg.default_point_depth, Rt=Rt, return_rel_sigma=True)
         rho_new = 1.0 / z_boot
-        sig_tri = cfg.bootstrap_depth_sigma_rel * rho_new
+        # parallax-matched prior width (mirrors engine.step exactly)
+        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
+            cam.fx + cam.fy)
+        sig_tri = jnp.maximum(cfg.bootstrap_depth_sigma_rel,
+                              2.0 * sigma_ang * rel_sig) * rho_new
         disagrees = jnp.abs(rho_new - filt.feat_mu[:, 2]) > sig_tri
-        boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & passed
+        good = sigma_ang * rel_sig < cfg.triangulation_max_rel_error
+        boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & good & passed
                 & filt.active & disagrees)
 
         n = cfg.max_features
@@ -125,6 +130,7 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
         img, feat_px, filt.active, cfg, cfg.max_features)
     cand_uv = cam_mod.pixel_to_metric(cam, cand_px)
     depths = None
+    depth_vars = None
     if cfg.triangulate_new_features:
         from ekf_vio_tpu.core import depth_init, lie
 
@@ -134,13 +140,22 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
         Rt = None
         if frame_qt is not None:
             Rt = (lie.quat_to_matrix(frame_qt[0:4]), frame_qt[4:7])
-        z_cur, tri_ok = depth_init.triangulate_depths(
+        z_cur, tri_ok, rel_sig = depth_init.triangulate_depths(
             h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth,
-            Rt=Rt)
-        depths = jnp.where(tri_ok & back.status, z_cur,
-                           cfg.default_point_depth)
+            Rt=Rt, return_rel_sigma=True)
+        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
+            cam.fx + cam.fy)
+        used = (tri_ok & back.status
+                & (sigma_ang * rel_sig < cfg.triangulation_max_rel_error))
+        depths = jnp.where(used, z_cur, cfg.default_point_depth)
+        # floored prior width — mirrors engine.step exactly
+        rel_floor = cfg.bootstrap_depth_sigma_rel if Rt is not None else 1.0
+        sig_rho = jnp.maximum(2.0 * sigma_ang * rel_sig, rel_floor) \
+            / jnp.maximum(depths, 1e-3)
+        depth_vars = jnp.where(used, sig_rho * sig_rho,
+                               cfg.default_point_depth_variance)
     filt = sf.sharded_add_features(filt, cfg, cand_uv, cand_valid, mesh,
-                                   depths=depths)
+                                   depths=depths, depth_vars=depth_vars)
 
     out = engine.StepOutputs(
         base_mu=filt.base_mu,

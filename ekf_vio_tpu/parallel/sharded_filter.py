@@ -441,23 +441,14 @@ def sigma_slot_reset(state: ShardedFilterState, wipe3, diag3,
 
 def sharded_add_features(state: ShardedFilterState, cfg: VIOConfig,
                          new_uv, valid, mesh: Mesh,
-                         depths=None) -> ShardedFilterState:
-    """Distributed analog of core.state.add_features (same slot plan)."""
+                         depths=None, depth_vars=None) -> ShardedFilterState:
+    """Distributed analog of core.state.add_features (same slot plan,
+    incl. the per-candidate triangulation-scaled depth-prior variances)."""
     from ekf_vio_tpu.core import state as state_mod
 
     # Reuse the dense path's slot-assignment plan on the replicated fields.
     n = state.n_max
-    k = new_uv.shape[0]
-    free = ~state.active
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    cand_rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    n_insert = jnp.minimum(jnp.sum(free.astype(jnp.int32)),
-                           jnp.sum(valid.astype(jnp.int32)))
-    take = free & (free_rank < n_insert)
-    cand_idx_of_rank = jnp.zeros((k,), jnp.int32).at[
-        jnp.where(valid, cand_rank, k)].set(jnp.arange(k, dtype=jnp.int32),
-                                            mode="drop")
-    src = cand_idx_of_rank[jnp.clip(free_rank, 0, k - 1)]
+    take, src = state_mod.plan_insertion(state.active, valid)
 
     if depths is None:
         rho = jnp.full((n, 1), 1.0 / cfg.default_point_depth,
@@ -471,11 +462,19 @@ def sharded_add_features(state: ShardedFilterState, cfg: VIOConfig,
     active = state.active | take
     age = jnp.where(take, 0, state.age)
 
+    if depth_vars is None:
+        dvar = jnp.full((n,), cfg.default_point_depth_variance,
+                        state.bb.dtype)
+    else:
+        dvar = jnp.clip(depth_vars[src], 1e-8,
+                        cfg.default_point_depth_variance)
     prior = jnp.where(
         take[:, None],
-        jnp.array([cfg.default_point_homogenous_variance,
-                   cfg.default_point_homogenous_variance,
-                   cfg.default_point_depth_variance], state.bb.dtype),
+        jnp.stack([jnp.full((n,), cfg.default_point_homogenous_variance,
+                            state.bb.dtype),
+                   jnp.full((n,), cfg.default_point_homogenous_variance,
+                            state.bb.dtype),
+                   dvar], axis=-1),
         0.0)
     state = sigma_slot_reset(state, jnp.repeat(take, 3), prior, mesh)
     return state.replace(feat_mu=feat_mu, klt_ref=klt_ref, active=active,

@@ -102,14 +102,33 @@ def run_scenario(key, scn: Scenario, cfg: VIOConfig, num_steps: int):
 
     meas_cov = jnp.tile(jnp.eye(2) * 1e-5, (cfg.max_features, 1, 1))
 
+    # square-root mode runs the loop factor-native (round 4): factor once
+    # here, never re-square inside the scan — the state carries L
+    sq = cfg.square_root_form
+    if sq:
+        from ekf_vio_tpu.core import sqrt_filter
+
+        state = sqrt_filter.to_factor(state)
+
     def step(carry, _):
         state, gt = carry
-        state = ekf.predict(state, cfg, scn.dt)
+        if sq:
+            state = sqrt_filter.predict_sqrt_factor(state, cfg, scn.dt)
+        else:
+            state = ekf.predict(state, cfg, scn.dt)
         gt = advance_ground_truth(gt, omega, scn.dt)
         z = project(pts_cam0, gt.pos, gt.quat)
-        state = ekf.update_with_feature_positions(state, cfg, z, meas_cov, valid)
-
-        min_diag, asym = ekf.check_sigma(state)
+        if sq:
+            state = sqrt_filter.update_sqrt_factor(state, cfg, z, meas_cov,
+                                                   valid)
+            # telemetry in factor space: diag(LLᵀ) = row norms ≥ 0 by
+            # construction; LLᵀ is exactly symmetric
+            min_diag = jnp.min(sqrt_filter.sigma_diag_factor(state.Sigma))
+            asym = jnp.float32(0.0)
+        else:
+            state = ekf.update_with_feature_positions(state, cfg, z,
+                                                      meas_cov, valid)
+            min_diag, asym = ekf.check_sigma(state)
         pos_err = jnp.linalg.norm(state.base_mu[0:3] - gt.pos)
         feat_err = jnp.sum(
             jnp.where(valid, jnp.linalg.norm(state.feat_mu[:, :2] - z, axis=-1), 0.0)
@@ -117,6 +136,8 @@ def run_scenario(key, scn: Scenario, cfg: VIOConfig, num_steps: int):
         return (state, gt), (min_diag, asym, pos_err, feat_err)
 
     (state, gt), telem = jax.lax.scan(step, (state, gt0), None, length=num_steps)
+    if sq:  # callers receive a dense Σ at the API boundary
+        state = sqrt_filter.to_covariance(state)
     return state, gt, telem
 
 

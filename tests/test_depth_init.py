@@ -97,3 +97,65 @@ class TestTriangulateDepths:
         zc, ok = depth_init.triangulate_depths(h, h, base_mu, 0.05, 0.5)
         assert not np.asarray(ok).any()
         np.testing.assert_allclose(np.asarray(zc), 0.5)
+
+
+class TestParallaxScaledConfidence:
+    """Round-4 robustness: triangulate_depths exposes the geometric error
+    amplification (σ_z/z ≈ σ_angle/parallax) so callers can scale the
+    depth prior and gate the mean (the r3 ATE-transient fix)."""
+
+    def test_rel_sigma_inversely_tracks_parallax(self):
+        import jax.numpy as jnp
+
+        from ekf_vio_tpu.core import depth_init
+
+        R = jnp.eye(3)
+        h1 = jnp.array([[0.1, 0.05], [0.3, -0.2]])
+        base_mu = jnp.zeros(22).at[3].set(1.0)
+        # larger baseline -> more parallax -> smaller rel_sigma
+        z_small, ok_s, rs_small = depth_init.triangulate_depths(
+            h1, h1 + jnp.array([0.002, 0.0]), base_mu, 0.05, 0.5,
+            Rt=(R, jnp.array([0.004, 0.0, 0.0])), return_rel_sigma=True)
+        z_big, ok_b, rs_big = depth_init.triangulate_depths(
+            h1, h1 + jnp.array([0.02, 0.0]), base_mu, 0.05, 0.5,
+            Rt=(R, jnp.array([0.04, 0.0, 0.0])), return_rel_sigma=True)
+        assert (np.asarray(rs_big) < np.asarray(rs_small)).all()
+
+    def test_zero_baseline_rel_sigma_huge(self):
+        """No baseline: the pair is degenerate — rel_sigma must be large
+        enough that any noise-scaled gate rejects the mean."""
+        import jax.numpy as jnp
+
+        from ekf_vio_tpu.core import depth_init
+
+        R = jnp.eye(3)
+        h = jnp.array([[0.1, 0.05], [-0.2, 0.3]])
+        base_mu = jnp.zeros(22).at[3].set(1.0)
+        _, ok, rs = depth_init.triangulate_depths(
+            h, h, base_mu, 0.05, 0.5, Rt=(R, jnp.zeros(3)),
+            return_rel_sigma=True)
+        # identical rays: cross magnitude ~0 -> rel_sigma at the clamp
+        assert (np.asarray(rs) > 1e4).all()
+
+    def test_add_features_depth_vars(self):
+        """Per-candidate depth-prior variances land on the ρ diagonal and
+        are capped by the constant prior."""
+        import jax.numpy as jnp
+
+        from ekf_vio_tpu.config import VIOConfig
+        from ekf_vio_tpu.core import filter as ekf
+        from ekf_vio_tpu.core.state import feature_rowcol_indices
+
+        cfg = VIOConfig(max_features=4)
+        s = ekf.init_state(cfg)
+        uv = jnp.tile(jnp.array([[0.1, -0.1]]), (4, 1))
+        valid = jnp.array([True, True, False, False])
+        dvars = jnp.array([0.04, 1e6, 1.0, 1.0])  # 2nd one over the cap
+        s = ekf.add_features(s, cfg, uv, valid,
+                             depths=jnp.full((4,), 2.0), depth_vars=dvars)
+        _, uvr = feature_rowcol_indices(4)
+        rho_rows = np.asarray(uvr).reshape(4, 3)[:, 2]
+        diag = np.diag(np.asarray(s.Sigma))
+        assert diag[rho_rows[0]] == np.float32(0.04)
+        assert diag[rho_rows[1]] == np.float32(
+            cfg.default_point_depth_variance)

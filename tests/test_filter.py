@@ -202,3 +202,106 @@ class TestUpdate:
         b = ekf.update_with_feature_positions(s, CFG, z, cov, s.active)
         np.testing.assert_allclose(np.asarray(a.Sigma), np.asarray(b.Sigma),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestCompactedUpdate:
+    """Measured-subset compaction (budget): gather measured slots to a
+    static budget before factorization — the analog of the reference
+    building H only from passed features (TightlyCoupledEKF.cpp:486-541)."""
+
+    def _mixed_state(self, n_feats=6):
+        s = fresh_state(n_feats)
+        s = ekf.predict(s, CFG, 0.05)  # introduce cross-correlations
+        return s
+
+    def test_compacted_matches_full_when_it_fits(self):
+        s = self._mixed_state(6)
+        z = s.feat_mu[:, :2] + 0.01
+        cov = jnp.tile(jnp.eye(2) * 1e-5, (CFG.max_features, 1, 1))
+        passed = s.active.at[1].set(False).at[4].set(False)  # 4 measured
+        full = ekf.update_with_feature_positions(s, CFG, z, cov, passed)
+        comp = ekf.update_with_feature_positions(s, CFG, z, cov, passed,
+                                                 budget=4)
+        np.testing.assert_allclose(np.asarray(comp.base_mu),
+                                   np.asarray(full.base_mu),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(comp.feat_mu),
+                                   np.asarray(full.feat_mu),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(comp.Sigma),
+                                   np.asarray(full.Sigma),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(comp.klt_ref),
+                                   np.asarray(full.klt_ref), atol=1e-7)
+
+    def test_compacted_matches_full_budget_larger_than_measured(self):
+        s = self._mixed_state(5)
+        z = s.feat_mu[:, :2] + 0.005
+        cov = jnp.tile(jnp.eye(2) * 1e-5, (CFG.max_features, 1, 1))
+        passed = s.active.at[0].set(False)  # 4 measured, budget 6
+        full = ekf.update_with_feature_positions(s, CFG, z, cov, passed)
+        comp = ekf.update_with_feature_positions(s, CFG, z, cov, passed,
+                                                 budget=6)
+        np.testing.assert_allclose(np.asarray(comp.Sigma),
+                                   np.asarray(full.Sigma),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(comp.mu_flat()),
+                                   np.asarray(full.mu_flat()),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_overflow_features_left_uncorrected(self):
+        """More measured features than budget: the update applies the
+        budgeted subset only (slot order), overflow features keep their
+        predicted mean but stay active."""
+        s = self._mixed_state(6)
+        z = s.feat_mu[:, :2] + 0.01
+        cov = jnp.tile(jnp.eye(2) * 1e-5, (CFG.max_features, 1, 1))
+        passed = s.active  # 6 measured, budget 3
+        comp = ekf.update_with_feature_positions(s, CFG, z, cov, passed,
+                                                 budget=3)
+        # equivalent full-path update measuring only the first 3 slots
+        sub = passed & (jnp.arange(CFG.max_features) < 3)
+        ref = ekf.update_with_feature_positions(s, CFG, z, cov, sub)
+        np.testing.assert_allclose(np.asarray(comp.mu_flat()),
+                                   np.asarray(ref.mu_flat()),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(comp.Sigma),
+                                   np.asarray(ref.Sigma),
+                                   rtol=1e-3, atol=5e-4)
+        assert bool(comp.active.all() == s.active.all())
+
+    def test_compacted_jits(self):
+        s = self._mixed_state(4)
+        z = s.feat_mu[:, :2] + 0.002
+        cov = jnp.tile(jnp.eye(2) * 1e-5, (CFG.max_features, 1, 1))
+        jitted = jax.jit(lambda st, zz: ekf.update_with_feature_positions(
+            st, CFG, zz, cov, st.active, budget=4))
+        a = jitted(s, z)
+        b = ekf.update_with_feature_positions(s, CFG, z, cov, s.active,
+                                              budget=4)
+        np.testing.assert_allclose(np.asarray(a.Sigma), np.asarray(b.Sigma),
+                                   rtol=1e-3, atol=1e-3)
+
+
+class TestJosephForms:
+    """The expanded and materialized Joseph forms are algebraically
+    identical for any gain (core/update.py); both stay symmetric/PSD."""
+
+    def test_forms_agree(self):
+        import dataclasses as dc
+
+        cfg_p = dc.replace(CFG, joseph_form="product")
+        s = fresh_state(4)
+        s = ekf.predict(s, CFG, 0.05)
+        z = s.feat_mu[:, :2] + 0.01
+        cov = jnp.tile(jnp.eye(2) * 1e-5, (CFG.max_features, 1, 1))
+        a = ekf.update_with_feature_positions(s, CFG, z, cov, s.active)
+        b = ekf.update_with_feature_positions(s, cfg_p, z, cov, s.active)
+        np.testing.assert_allclose(np.asarray(a.Sigma), np.asarray(b.Sigma),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(a.mu_flat()),
+                                   np.asarray(b.mu_flat()),
+                                   rtol=1e-5, atol=1e-7)
+        min_diag, asym = ekf.check_sigma(b)
+        assert float(min_diag) >= -1e-6
+        assert float(asym) < 1e-3

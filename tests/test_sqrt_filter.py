@@ -122,3 +122,128 @@ class TestClosedLoop:
         _, _, ts = simulator.run_scenario(jax.random.PRNGKey(3), scn, cfg_s, 40)
         pos_d, pos_s = np.asarray(td[2]), np.asarray(ts[2])
         np.testing.assert_allclose(pos_s, pos_d, atol=2e-4)
+
+
+class TestFactorNative:
+    """Persistent-factor ops (round 4): the engine keeps L across steps —
+    predict/update/add/drop/wipe all in factor space, factored once."""
+
+    def test_factor_roundtrip(self):
+        state = _correlated_state(CFG)
+        rt = sqrt_filter.to_covariance(sqrt_filter.to_factor(state))
+        scale = float(jnp.max(jnp.abs(state.Sigma)))
+        np.testing.assert_allclose(np.asarray(rt.Sigma),
+                                   np.asarray(state.Sigma),
+                                   atol=1e-5 * scale)
+
+    def test_factor_predict_update_chain_matches_dense(self):
+        """Three predict+update cycles entirely in factor space equal the
+        dense chain — no per-step refactorization drift."""
+        state = _correlated_state(CFG)
+        n = CFG.max_features
+        meas_cov = jnp.tile(jnp.eye(2) * 1e-5, (n, 1, 1))
+
+        dense = state
+        fact = sqrt_filter.to_factor(state)
+        for i in range(3):
+            dense = ekf.predict(dense, CFG, 0.05)
+            fact = sqrt_filter.predict_sqrt_factor(fact, CFG, 0.05)
+            z = dense.feat_mu[:, :2] + 0.002
+            passed = jnp.arange(n) % 4 != i % 4
+            dense = update.update_with_feature_positions(
+                dense, CFG, z, meas_cov, passed)
+            fact = sqrt_filter.update_sqrt_factor(
+                fact, CFG, z, meas_cov, passed)
+        out = sqrt_filter.to_covariance(fact)
+        np.testing.assert_allclose(np.asarray(out.base_mu),
+                                   np.asarray(dense.base_mu), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.feat_mu),
+                                   np.asarray(dense.feat_mu), atol=1e-5)
+        scale = float(jnp.max(jnp.abs(dense.Sigma)))
+        np.testing.assert_allclose(np.asarray(out.Sigma),
+                                   np.asarray(dense.Sigma),
+                                   atol=5e-4 * scale)
+
+    def test_factor_drop_matches_dense(self):
+        state = _correlated_state(CFG)
+        drop = jnp.arange(CFG.max_features) % 3 == 0
+        dense = ekf.drop_features(state, drop)
+        fact = sqrt_filter.drop_features_factor(
+            sqrt_filter.to_factor(state), drop)
+        out = sqrt_filter.to_covariance(fact)
+        scale = float(jnp.max(jnp.abs(dense.Sigma)))
+        np.testing.assert_allclose(np.asarray(out.Sigma),
+                                   np.asarray(dense.Sigma),
+                                   atol=1e-5 * scale)
+        np.testing.assert_array_equal(np.asarray(out.active),
+                                      np.asarray(dense.active))
+
+    def test_factor_add_matches_dense(self):
+        """Slot reuse: drop, then re-allocate in factor space — wiped
+        rows get the clean prior, survivors keep their correlations."""
+        state = _correlated_state(CFG)
+        drop = jnp.arange(CFG.max_features) < 4
+        dense = ekf.drop_features(state, drop)
+        fact = sqrt_filter.drop_features_factor(
+            sqrt_filter.to_factor(state), drop)
+
+        uv = jnp.tile(jnp.array([[0.3, -0.2]]), (CFG.max_features, 1))
+        valid = jnp.arange(CFG.max_features) < 3
+        dense = ekf.add_features(dense, CFG, uv, valid)
+        fact = sqrt_filter.add_features_factor(fact, CFG, uv, valid)
+        out = sqrt_filter.to_covariance(fact)
+        scale = float(jnp.max(jnp.abs(dense.Sigma)))
+        np.testing.assert_allclose(np.asarray(out.Sigma),
+                                   np.asarray(dense.Sigma),
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(np.asarray(out.feat_mu),
+                                   np.asarray(dense.feat_mu), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out.active),
+                                      np.asarray(dense.active))
+
+    def test_wipe_rows_factor_matches_dense_wipe(self):
+        state = _correlated_state(CFG)
+        L = sqrt_filter.to_factor(state).Sigma
+        d = state.state_dim
+        wipe = jnp.zeros((d,), bool).at[jnp.array([24, 30, 31])].set(True)
+        new_diag = jnp.where(wipe, 0.25, 0.0)
+        Lw = sqrt_filter.wipe_rows_factor(L, wipe, new_diag)
+        got = np.asarray(Lw @ Lw.T)
+        w = np.asarray(wipe)
+        ref = np.asarray(state.Sigma).copy()
+        ref[w, :] = 0.0
+        ref[:, w] = 0.0
+        ref[np.where(w)[0], np.where(w)[0]] = 0.25
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=1e-5 * scale)
+
+    def test_engine_sqrt_mode_rendered(self):
+        """engine.run_sequence with square_root_form=True: finite,
+        tracking, and trajectory close to the dense engine (VERDICT r3
+        next-round #7's done-bar)."""
+        import jax as _jax
+
+        from ekf_vio_tpu import engine
+        from ekf_vio_tpu.sim import rendered
+
+        seq = rendered.generate(num_frames=20, w=160, h=120)
+        cam = engine.make_hashable_camera(seq.K, 160, 120)
+        imgs = jnp.asarray(seq.frames)
+        ts = jnp.asarray(seq.times)
+        base = dict(max_features=32, min_new_feature_dist=10.0,
+                    fast_threshold=25)
+        # floor-off on both: the spectral floor is a covariance-form
+        # TPU workaround; with it on, the dense gains differ by the
+        # regularization, not by arithmetic error
+        cfg_d = VIOConfig(**base, sigma_jitter_rel=0.0)
+        cfg_s = VIOConfig(**base, square_root_form=True,
+                          sigma_jitter_rel=0.0)
+        _, outs_d = engine.run_sequence(imgs, ts, cfg_d, cam)
+        _, outs_s = engine.run_sequence(imgs, ts, cfg_s, cam)
+        _jax.block_until_ready(outs_s)
+        assert np.isfinite(np.asarray(outs_s.base_mu)).all()
+        assert np.asarray(outs_s.num_tracked)[3:].min() > 5
+        # same scene, same tracker: trajectories agree to mm scale
+        dp = np.linalg.norm(np.asarray(outs_s.base_mu)[:, :3]
+                            - np.asarray(outs_d.base_mu)[:, :3], axis=-1)
+        assert dp.max() < 5e-3, f"sqrt-vs-dense trajectory delta {dp.max()}"
