@@ -195,6 +195,12 @@ def _motion_step29(x29, gyro_m, accel_m, noise, dt, gravity_w):
 
 _jac29_x = jax.jacfwd(_motion_step29, argnums=0)
 _jac29_n = jax.jacfwd(_motion_step29, argnums=3)
+# fused J/G: ONE jacfwd over the concatenated [x29 | noise] input — the
+# same 41 forward tangents, but a single primal trace instead of two
+# (halves the phase-2 graph; measured compile + runtime win)
+_jac29_xn = jax.jacfwd(
+    lambda xn, gyro, accel, dt, g_w: _motion_step29(
+        xn[:29], gyro, accel, xn[29:], dt, g_w))
 
 
 def _compound_transport(feat_mu, qt):
@@ -261,27 +267,43 @@ def compound_interval(base_mu, cfg: VIOConfig, batch: ImuSample, gravity_w,
         [base_mu, jnp.array([1.0, 0, 0, 0], dtype), jnp.zeros(3, dtype)])
 
     # Phase 1 — mean chain (the only sequential dependency), unrolled so
-    # XLA fuses the per-sample elementwise chains into one kernel.
-    def mbody(x, smp):
+    # XLA fuses the per-sample elementwise chains into one kernel.  With
+    # FEJ the linearization chain rides the SAME scan as a second row
+    # ([2, 29] carry) instead of a second scan — one sequential graph
+    # instead of two (r3's second chain doubled the rollout compile).
+    def mbody1(x, smp):
         x2 = _motion_step29(x, smp.gyro, smp.accel, zero_n, smp.dt, gravity_w)
         return jnp.where(smp.dt > 0, x2, x), x
 
     k = batch.dt.shape[0]
-    x, xs = jax.lax.scan(mbody, x0, batch, unroll=min(k, 16))  # xs: entry states
-
-    xs_lin, x_lin = xs, x
-    if lin_base is not None:
+    if lin_base is None:
+        x, xs = jax.lax.scan(mbody1, x0, batch, unroll=min(k, 16))
+        xs_lin, x_lin = xs, x
+    else:
         x0_lin = jnp.concatenate(
             [lin_base.astype(dtype), jnp.array([1.0, 0, 0, 0], dtype),
              jnp.zeros(3, dtype)])
-        x_lin, xs_lin = jax.lax.scan(mbody, x0_lin, batch, unroll=min(k, 16))
+
+        def mbody2(x2r, smp):
+            nxt = jax.vmap(
+                lambda r: _motion_step29(r, smp.gyro, smp.accel, zero_n,
+                                         smp.dt, gravity_w))(x2r)
+            return jnp.where(smp.dt > 0, nxt, x2r), x2r
+
+        xpair, xspair = jax.lax.scan(
+            mbody2, jnp.stack([x0, x0_lin]), batch, unroll=min(k, 16))
+        x, x_lin = xpair[0], xpair[1]
+        xs, xs_lin = xspair[:, 0], xspair[:, 1]
 
     # Phase 2 — per-sample Jacobians, batched over the whole interval
-    # (sequentializing these inside the scan is 2.5x slower on hardware).
-    Ji = jax.vmap(_jac29_x, in_axes=(0, 0, 0, None, 0, None))(
-        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
-    Gi = jax.vmap(_jac29_n, in_axes=(0, 0, 0, None, 0, None))(
-        xs_lin, batch.gyro, batch.accel, zero_n, batch.dt, gravity_w)
+    # (sequentializing these inside the scan is 2.5x slower on hardware);
+    # J and G come from ONE fused jacfwd over [x | n].
+    xn = jnp.concatenate(
+        [xs_lin, jnp.zeros((k, 12), dtype)], axis=-1)          # [K, 41]
+    JG = jax.vmap(_jac29_xn, in_axes=(0, 0, 0, 0, None))(
+        xn, batch.gyro, batch.accel, batch.dt, gravity_w)      # [K, 29, 41]
+    Ji = JG[:, :, :29]
+    Gi = JG[:, :, 29:]
     qn = psd[None, :] / jnp.maximum(batch.dt, 1e-6)[:, None]
     GQG = jnp.einsum("kij,kj,klj->kil", Gi, qn, Gi)
     ok = (batch.dt > 0)[:, None, None]

@@ -170,11 +170,19 @@ def step(
         else:
             filt, frame_qt = imu_mod.propagate_imu_batch_with_motion(
                 filt, cfg, imu_batch, gravity_w, lin_base=lin)
-        # cover any remainder of the interval not spanned by IMU samples
+        # cover any remainder of the interval not spanned by IMU samples —
+        # a lax.cond, not a where over both results: under the sequential
+        # rollout scan only the taken branch executes, and the remainder
+        # is zero on every regularly-sampled dataset, so the dense [D,D]
+        # predict this guards is never paid (it WAS paid, and discarded,
+        # every frame as a where; under vmap cond lowers to select and
+        # matches the old behavior)
         rem = jnp.maximum(t - filt.t, 0.0)
-        filt = jax.tree.map(
-            lambda a, b: jnp.where(rem > 1e-6, b, a),
-            filt, predict_fn(filt, cfg, rem),
+        filt = jax.lax.cond(
+            rem > 1e-6,
+            lambda f: predict_fn(f, cfg, rem),
+            lambda f: f,
+            filt,
         )
     else:
         filt = predict_fn(filt, cfg, dt)

@@ -161,13 +161,32 @@ def load_images(seq: EurocSequence, start=0, count=None, inverse_scale=4,
     if missing:
         raise FileNotFoundError(missing[0])
 
-    newK = CAM0_K.copy()
-    und_maps = None
     if undistort:
+        return undistort_and_scale(frames, CAM0_K, CAM0_DIST, inverse_scale)
+    return undistort_and_scale(frames, CAM0_K, None, inverse_scale)
+
+
+def undistort_and_scale(frames, K, dist, inverse_scale=4):
+    """Radtan-undistort + downscale a list/array of frames.
+
+    The ingest normalization the reference gets from its rectify nodelet
+    (launch/sensorRig1.launch:10-33) followed by the Frame-ctor downscale
+    (Frame.cpp:15-41).  ``dist`` is a radtan [k1, k2, p1, p2(, k3)] or
+    None.  Returns ([T, H, W] float32, scaled K).  Factored out of
+    load_images so the distorted-imagery chain is CI-testable on rendered
+    frames without a dataset on disk (VERDICT r3 #9).
+    """
+    import cv2
+
+    newK = np.asarray(K, np.float32).copy()
+    und_maps = None
+    if dist is not None:
         h, w = frames[0].shape
+        d = np.asarray(dist, np.float32)
+        if d.size < 5:
+            d = np.concatenate([d, np.zeros(5 - d.size, np.float32)])
         und_maps = cv2.initUndistortRectifyMap(
-            CAM0_K, np.concatenate([CAM0_DIST, [0.0]]).astype(np.float32),
-            None, newK, (w, h), cv2.CV_32FC1)
+            np.asarray(K, np.float32), d, None, newK, (w, h), cv2.CV_32FC1)
     imgs = []
     for im in frames:
         if und_maps is not None:
@@ -176,9 +195,9 @@ def load_images(seq: EurocSequence, start=0, count=None, inverse_scale=4,
             im = cv2.resize(im, (im.shape[1] // inverse_scale,
                                  im.shape[0] // inverse_scale))
         imgs.append(im.astype(np.float32))
-    K = newK / inverse_scale
-    K[2, 2] = 1.0
-    return np.stack(imgs), K
+    Ks = newK / inverse_scale
+    Ks[2, 2] = 1.0
+    return np.stack(imgs), Ks
 
 
 def imu_between_frames(seq: EurocSequence, start=0, count=None, max_per_frame=12):

@@ -60,10 +60,14 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
                                   is not None) else None
         filt, frame_qt = sf.sharded_propagate_imu_batch(
             filt, cfg, imu_batch, gravity_w, mesh, lin_base=lin)
+        # remainder predict under lax.cond (see engine.step): the dense
+        # fallback only executes when samples under-span the interval
         rem = jnp.maximum(t - filt.t, 0.0)
-        filt = jax.tree.map(
-            lambda a, b: jnp.where(rem > 1e-6, b, a),
-            filt, sf.sharded_predict(filt, cfg, rem, mesh))
+        filt = jax.lax.cond(
+            rem > 1e-6,
+            lambda f: sf.sharded_predict(f, cfg, rem, mesh),
+            lambda f: f,
+            filt)
     else:
         filt = sf.sharded_predict(filt, cfg, dt, mesh)
     filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))

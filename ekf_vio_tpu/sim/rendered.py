@@ -93,13 +93,36 @@ def _make_texture(size=2048, seed=0):
     return (255 * (tex - tex.min()) / np.ptp(tex)).astype(np.float32)
 
 
-def _render(tex, K, R, p, plane_depth, tex_scale, h, w):
+def _undistort_normalized(xd, yd, dist, iters=30):
+    """Invert the radtan model by fixed point: find (x, y) with
+    distort(x, y) = (xd, yd).  dist = [k1, k2, p1, p2, k3]."""
+    k1, k2, p1, p2, k3 = (list(dist) + [0.0] * 5)[:5]
+    x, y = xd.copy(), yd.copy()
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return x, y
+
+
+def _render(tex, K, R, p, plane_depth, tex_scale, h, w, dist=None):
     """Inverse-warp the plane texture into the camera: for each pixel,
     intersect the ray with the plane z = plane_depth (world) and sample
-    the texture bilinearly."""
+    the texture bilinearly.  With ``dist`` (radtan [k1,k2,p1,p2,k3]) the
+    rendered image is the DISTORTED camera image: each pixel's normalized
+    coords are radtan-undistorted before ray casting — exactly the model
+    cv2's undistort inverts (EKFVIO's rectify nodelet role)."""
     Kinv = np.linalg.inv(K)
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     rays = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w)], 0)  # [3, HW]
+    if dist is not None:
+        nd = Kinv @ rays
+        x_u, y_u = _undistort_normalized(nd[0], nd[1], dist)
+        rays = np.stack([x_u * K[0, 0] + K[0, 2],
+                         y_u * K[1, 1] + K[1, 2], np.ones(h * w)], 0)
     d_w = R @ (Kinv @ rays)                    # ray directions in world
     lam = (plane_depth - p[2]) / d_w[2]        # intersection with plane
     pts = p[:, None] + lam * d_w               # [3, HW] world points
@@ -118,11 +141,19 @@ def _render(tex, K, R, p, plane_depth, tex_scale, h, w):
 def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
              f=260.0, plane_depth=2.0, seed=0, gyro_noise=1.7e-4,
              accel_noise=2.0e-3, gyro_bias=(0.002, -0.001, 0.003),
-             accel_bias=(0.02, -0.015, 0.01)) -> RenderedSequence:
+             accel_bias=(0.02, -0.015, 0.01),
+             distortion=None, exposure_drift=0.0) -> RenderedSequence:
     """Render a sequence with consistent images, IMU and ground truth.
 
     Gravity points along +y of the initial camera frame (camera y-down,
-    roughly level) so the accelerometer carries the usual ~1 g signal."""
+    roughly level) so the accelerometer carries the usual ~1 g signal.
+
+    ``distortion`` (radtan [k1, k2, p1, p2(, k3)]) renders DISTORTED
+    imagery — the EuRoC-like real-data quirk; push the frames through
+    io.euroc.undistort_and_scale before the engine.  ``exposure_drift``
+    applies a slow multiplicative gain 1 + a·sin plus an additive offset
+    drift (auto-exposure / vignetting stand-in); the LK front-end must
+    absorb it (VERDICT r3 #9)."""
     from ekf_vio_tpu.core import lie  # for quat conversion parity
     import jax.numpy as jnp
 
@@ -135,9 +166,15 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
     times = np.arange(num_frames) / fps
     frames = np.stack([
         _render(tex, K, traj.R(t), traj.pos(t), plane_depth,
-                tex_scale=640.0, h=h, w=w)
+                tex_scale=640.0, h=h, w=w, dist=distortion)
         for t in times
     ])
+    if exposure_drift:
+        gain = (1.0 + exposure_drift * np.sin(0.9 * times)
+                )[:, None, None].astype(np.float32)
+        offs = (12.0 * exposure_drift * np.sin(0.37 * times + 1.0)
+                )[:, None, None].astype(np.float32)
+        frames = np.clip(frames * gain + offs, 0.0, 255.0)
     gt_pos = np.stack([traj.pos(t) for t in times])
     gt_quat = np.stack([_mat_to_quat(traj.R(t)) for t in times])
 
