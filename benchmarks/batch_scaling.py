@@ -68,7 +68,12 @@ def main():
     for b in (1, 4, 16, 64):
         imgs_b = jnp.broadcast_to(small, (b,) + small.shape)
         ts_b = jnp.broadcast_to(jnp.asarray(times), (b, N_FRAMES))
-        _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+        try:
+            _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+        except Exception as e:  # record instead of dying mid-curve
+            report[f"b{b}_error"] = str(e)[:200]
+            print(f"B={b}: FAILED {e}", flush=True)
+            continue
         jax.block_until_ready(outs)
         t0 = time.time()
         _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
@@ -79,7 +84,7 @@ def main():
             fps1 = fps
         report[f"b{b}_aggregate_fps"] = round(fps, 1)
         report[f"b{b}_speedup"] = round(fps / fps1, 2)
-        print(f"B={b}: {fps:.1f} fps aggregate ({fps / fps1:.2f}x)")
+        print(f"B={b}: {fps:.1f} fps aggregate ({fps / fps1:.2f}x)", flush=True)
 
         if do_trace and b == 16:
             trace_dir = "/tmp/jax_trace_b16"

@@ -17,7 +17,10 @@ Run on the TPU (no JAX_PLATFORMS override): python benchmarks/sqrt_validation.py
 """
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -27,19 +27,24 @@ ONCE per level on the MXU (one batched dot_general per feature block);
 every LK iteration then reads 4 taps per feature — pure VPU work with no
 sampling matmuls and no HBM traffic in the loop.
 
-Two kernels per pyramid level:
+Per pyramid level: one XLA-side per-lane row extraction plus two kernels:
 
-* ``_prep_kernel``   — per (lane, feature-block) grid program: one-hot
-  patch extraction from the lane's VMEM-resident level image, Scharr
-  gradients, template/gradient window sampling, Hessian + min-eigen,
-  and the corr tables.  Grid programs map to (lane, block) so each
-  lane's image is staged once and revisited.
+* ``_row_strips``    — XLA: per-lane one-hot ROW extraction as one large
+  [N·40, H]x[H, W] matmul per lane per image.  (Round 4: this was
+  previously inside the prep kernel, where every 32-feature grid
+  program re-multiplied the whole image — 51% of device time at
+  batch 16; hoisted per-lane it runs once per lane at full-matmul MXU
+  utilization and the image never enters kernel VMEM, so the working
+  set no longer scales with image HEIGHT at all.)
+* ``_prep_kernel``   — feature-blocked grid: column selection of the
+  40x40 patches from the strips, Scharr gradients, template/gradient
+  window sampling, Hessian + min-eigen, and the corr tables.
 * ``_iter_kernel``   — lane-agnostic feature-blocked grid over ALL
   B*N features: the 30-iteration LK loop on the tables, convergence
   masking, bounds/margin status, and (level 0) the final residual err
   via one window resample from the cur patch.
 
-Images are edge-padded by ``_PAD_IMG`` before the kernel so every
+Images are edge-padded by ``_PAD_IMG`` before extraction so every
 feature inside the true image has a fully interior 40x40 patch — the
 window-base index range then provably fits the 16x16 corr table, and the
 border model (clamp-replicate) matches the XLA path's by construction.
@@ -108,19 +113,34 @@ def _bdot_t(a, b):  # [B,m,k] @ [B,n,k] -> [B,m,n]
         preferred_element_type=jnp.float32)
 
 
-def _patches_from_image(img_ref, px0, py0, b):
-    """[B, PATCH, PATCH] f32 patches from a VMEM image at integer
-    origins (one-hot MXU extraction; bf16 selection is exact)."""
-    h, w = img_ref.shape
-    img16 = img_ref[:].astype(jnp.bfloat16)
-    rowsel = _int_selector(py0, PATCH, h, jnp.bfloat16)        # [B,40,H]
-    flat = rowsel.reshape(b * PATCH, h)
+def _row_strips(imgs, y0, n_per_lane):
+    """[BN, PATCH, W] bf16 row strips: per-lane one-hot row extraction as
+    ONE large matmul per lane (XLA-side — this was the dominant cost of
+    the old in-kernel extraction, where every 32-feature grid program
+    re-multiplied the whole image; hoisted per-lane it runs 4x fewer
+    FLOPs at far better MXU utilization and the image never enters the
+    kernel's VMEM).
+
+    imgs: [L, H, W] padded level images.  y0: [BN] int32 patch-row
+    origins (BN = L * n_per_lane).  Exact: one-hot selection in bf16.
+    """
+    lanes, h, w = imgs.shape
+    ys = jnp.clip(y0[:, None] + jnp.arange(PATCH)[None], 0, h - 1)  # [BN,40]
+    rowsel = jax.nn.one_hot(
+        ys.reshape(lanes, n_per_lane * PATCH), h, dtype=jnp.bfloat16)
     rows = jax.lax.dot_general(
-        flat, img16, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [B*40, W]
-    rows3 = rows.astype(jnp.bfloat16).reshape(b, PATCH, w)
+        rowsel, imgs.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [L, N*40, W]
+    return rows.astype(jnp.bfloat16).reshape(lanes * n_per_lane, PATCH, w)
+
+
+def _patches_from_strips(rows_ref, px0):
+    """[B, PATCH, PATCH] f32 patches from row strips via per-block column
+    selection (bf16 one-hot bmm — exact).  px0: [B, 1] int32."""
+    w = rows_ref.shape[-1]
     colsel = _int_selector(px0, PATCH, w, jnp.bfloat16)        # [B,40,W]
-    return _bdot_t(rows3, colsel)                              # f32
+    return _bdot_t(rows_ref[:].astype(jnp.bfloat16), colsel)   # f32
 
 
 def _scharr(patch):
@@ -159,32 +179,20 @@ def _sample(patch, center, win):
     return _bdot_t(_bdot(ry, patch), cx)
 
 
-def _prep_kernel(prev_ref, cur_ref, q_ref, g_ref,
-                 corr_ref, hinv_ref, a_ref, me_ref, co_ref, cs_ref, tpl_ref,
-                 *, win, emit_cs):
-    """Per-level preparation: patches, gradients, Hessian, corr tables."""
+def _prep_kernel(prev_rows_ref, cur_rows_ref, px0_ref, cx0_ref,
+                 q_ref, g_ref, po_ref, co_ref,
+                 corr_ref, hinv_ref, a_ref, me_ref, co_out_ref,
+                 cs_ref, tpl_ref, *, win, emit_cs):
+    """Per-level preparation: patches (column selection from the
+    XLA-extracted row strips), gradients, Hessian, corr tables."""
     b = q_ref.shape[0]
-    prev = prev_ref[0]
-    cur = cur_ref[0]
     q = q_ref[:]                                   # [B,2] padded level px
-    g0 = g_ref[:]
-    hp, wp = prev.shape
 
-    def origin(pts):
-        p = jnp.nan_to_num(pts)
-        x = jnp.clip(jnp.floor(p[:, 0:1]).astype(jnp.int32) - _PAD,
-                     0, wp - PATCH)
-        y = jnp.clip(jnp.floor(p[:, 1:2]).astype(jnp.int32) - _PAD,
-                     0, hp - PATCH)
-        return x, y
+    ps = _patches_from_strips(prev_rows_ref, px0_ref[:])  # [B,40,40]
+    cs = _patches_from_strips(cur_rows_ref, cx0_ref[:])
 
-    px0, py0 = origin(q)
-    cx0, cy0 = origin(g0)
-    ps = _patches_from_image(prev, px0, py0, b)            # [B,40,40] f32
-    cs = _patches_from_image(cur, cx0, cy0, b)
-
-    po = jnp.concatenate([px0, py0], -1).astype(jnp.float32)
-    co = jnp.concatenate([cx0, cy0], -1).astype(jnp.float32)
+    po = po_ref[:]
+    co = co_ref[:]
 
     # template + gradient windows sampled with SHARED selectors in ONE
     # bmm pair: [ps; gx; gy] stacked along the sublane axis and a
@@ -283,7 +291,7 @@ def _prep_kernel(prev_ref, cur_ref, q_ref, g_ref,
          inv_ok.astype(jnp.float32)], -1)                  # [B,4]
     a_ref[:] = jnp.concatenate([a_x, a_y], -1)
     me_ref[:] = min_eig
-    co_ref[:] = co
+    co_out_ref[:] = co
     if emit_cs:
         cs_ref[:] = cs16
         tpl_ref[:] = tpl
@@ -390,7 +398,6 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
     B, N, _ = prev_pts.shape
     bn = B * N
     n_levels = len(prev_levels)
-    blocks_per_lane = N // _BLK
 
     q0 = prev_pts.reshape(bn, 2)
     valid_f = valid.reshape(bn, 1).astype(jnp.float32)
@@ -412,6 +419,22 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
         hp, wp = prev.shape[1:]
         q = q0 / float(2 ** lvl) + _PAD_IMG
 
+        # patch origins (XLA-side; the kernel receives strips + origins)
+        def origin(pts):
+            p = jnp.nan_to_num(pts)
+            x = jnp.clip(jnp.floor(p[:, 0]).astype(jnp.int32) - _PAD,
+                         0, wp - PATCH)
+            y = jnp.clip(jnp.floor(p[:, 1]).astype(jnp.int32) - _PAD,
+                         0, hp - PATCH)
+            return x, y
+
+        px0, py0 = origin(q)
+        cx0, cy0 = origin(g)
+        po = jnp.stack([px0, py0], -1).astype(jnp.float32)     # [bn, 2]
+        co = jnp.stack([cx0, cy0], -1).astype(jnp.float32)
+        prev_rows = _row_strips(prev, py0, N)                  # [bn,40,Wp]
+        cur_rows = _row_strips(cur, cy0, N)
+
         emit_cs = lvl == 0
         prep = functools.partial(_prep_kernel, win=win, emit_cs=emit_cs)
         out_shapes = [
@@ -428,10 +451,12 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
         grid_spec = pl.GridSpec(
             grid=(bn // _BLK,),
             in_specs=[
-                pl.BlockSpec((1, hp, wp),
-                             lambda i: (i // blocks_per_lane, 0, 0)),
-                pl.BlockSpec((1, hp, wp),
-                             lambda i: (i // blocks_per_lane, 0, 0)),
+                pl.BlockSpec((_BLK, PATCH, wp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((_BLK, PATCH, wp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((_BLK, 1), lambda i: (i, 0)),
+                pl.BlockSpec((_BLK, 1), lambda i: (i, 0)),
+                pl.BlockSpec((_BLK, 2), lambda i: (i, 0)),
+                pl.BlockSpec((_BLK, 2), lambda i: (i, 0)),
                 pl.BlockSpec((_BLK, 2), lambda i: (i, 0)),
                 pl.BlockSpec((_BLK, 2), lambda i: (i, 0)),
             ],
@@ -452,9 +477,19 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
         corr, hinv, a, me, co, cs, tpl = pl.pallas_call(
             prep, grid_spec=grid_spec, out_shape=out_shapes,
             interpret=interpret,
-        )(prev, cur, q, g)
+        )(prev_rows, cur_rows, px0[:, None], cx0[:, None], q, g, po, co)
 
-        blk2 = _BLK2 if bn % _BLK2 == 0 else _BLK
+        # iter-kernel block: bigger blocks amortize grid overhead, but the
+        # XLA-side operand staging for the [blk2, 2, _TW] corr blocks is
+        # charged against the 16 MB scoped-VMEM budget — at flat batches
+        # >= 2048 a 256-row block measures 60 KB OVER the limit, so tier
+        # the block down with the flat batch size
+        if bn % _BLK2 == 0 and bn <= 1024:
+            blk2 = _BLK2
+        elif bn % 128 == 0 and bn <= 4096:
+            blk2 = 128
+        else:
+            blk2 = _BLK
         itk = functools.partial(
             _iter_kernel, win=win, iters=iters, eps=eps,
             min_eigen=(min_eigen if lvl == 0 else -1.0),
@@ -542,24 +577,24 @@ def _make_tracker(level_shapes, win, iters, eps, min_eigen, interpret):
     return track_one
 
 
-def _prep_vmem_bytes(hp: int, wp: int) -> int:
+def _prep_vmem_bytes(wp: int) -> int:
     """Estimated VMEM working set of one prep-kernel program (bytes).
 
-    Counts the terms that scale with the image dims — the two f32 level
-    images plus their bf16 casts, the row/col one-hot selectors and the
-    extracted row strips — and the image-independent intermediates
-    (corr-table bmm output T, the lane-shifted cs2 stack, patches).
-    Derived from the buffers in ``_prep_kernel``/``_patches_from_image``.
+    The image itself never enters the kernel (row extraction is a
+    per-lane XLA matmul, ``_row_strips``); what scales with the image is
+    only the strip WIDTH: two [BLK, PATCH, Wp] bf16 input strips (double-
+    buffered across grid steps) plus their in-kernel column selectors,
+    and the image-independent intermediates (corr-table bmm output T,
+    the lane-shifted cs2 stack, patches).
     """
-    images = 2 * hp * wp * 4 + 2 * hp * wp * 2         # f32 + bf16 casts
-    rowsel = 2 * _BLK * PATCH * hp * 2                 # [B*40,H] bf16 ×2 imgs
-    rows = _BLK * PATCH * wp * 4 + _BLK * PATCH * wp * 2   # f32 + bf16 strip
-    colsel = _BLK * PATCH * wp * 2                     # [B,40,W] bf16
+    strips = 2 * 2 * _BLK * PATCH * wp * 2             # 2 imgs x dbl-buffer
+    colsel = 2 * _BLK * PATCH * wp * 2                 # [B,40,W] bf16 x 2
     fixed = (_BLK * 42 * 576 * 4        # T (corr bmm output, f32)
              + _BLK * 576 * 21 * 2      # cs2 lane-shift stack, bf16
              + 3 * _BLK * PATCH * PATCH * 4            # ps/gx/gy f32
-             + _BLK * 2 * _TW * 4)                     # corr output
-    return images + rowsel + rows + colsel + fixed
+             + _BLK * 2 * _TW * 4                      # corr output
+             + 2 * _BLK * PATCH * PATCH * 4)           # ps/cs f32
+    return strips + colsel + fixed
 
 
 def supported(level0_shape, n: int, win: int = 21) -> bool:
@@ -569,17 +604,18 @@ def supported(level0_shape, n: int, win: int = 21) -> bool:
       reference's 21x21 window (Params.h:104) — other window sizes must
       take the XLA path;
     * feature count must tile the prep block;
-    * the estimated prep-kernel working set (padded level-0 images +
-      selector/correlation intermediates, ``_prep_vmem_bytes``) must fit
-      VMEM with margin.  640x480 level-0 exceeds this and falls back to
-      the level-wise pallas_klt kernel; the reference operating point
-      (÷4 => 160x120, Params.h:46) fits easily.
+    * the estimated prep-kernel working set (row strips + selector/
+      correlation intermediates, ``_prep_vmem_bytes``) must fit VMEM
+      with margin.  640-wide level-0 exceeds this and falls back to the
+      level-wise pallas_klt kernel; the reference operating point
+      (÷4 => 160x120, Params.h:46) and the rendered benchmark (320x240)
+      fit easily.
     """
     if win != 21:
         return False
     h, w = level0_shape
-    hp, wp = h + 2 * _PAD_IMG, w + 2 * _PAD_IMG
-    return n % _BLK == 0 and _prep_vmem_bytes(hp, wp) <= 12 * 1024 * 1024
+    wp = w + 2 * _PAD_IMG
+    return n % _BLK == 0 and _prep_vmem_bytes(wp) <= 12 * 1024 * 1024
 
 
 def track(prev_pyr, cur_pyr, prev_pts, init_pts, valid, cfg,

@@ -409,19 +409,125 @@ def sharded_predict(state: ShardedFilterState, cfg: VIOConfig, dt,
                          ff=ff, t=state.t + dt)
 
 
+@jax.default_matmul_precision("float32")
+def _update_shard_compact(bb, bf_l, ff_l, base_mu, feat_mu, klt_ref,
+                          measured_uv, meas_cov, meas, idx_c, *,
+                          cfg: VIOConfig):
+    """Compacted distributed update: only the ``B = len(idx_c)`` slots
+    gathered by the caller enter the factorization.  Mirrors the dense
+    compacted path (core/update.py budget) with the same collectives as
+    ``_update_shard``; the replicated Cholesky runs at [2B, 2B]."""
+    ns = jax.lax.axis_size(AXIS)
+    k = jax.lax.axis_index(AXIS)
+    n = feat_mu.shape[0]
+    n3b = ff_l.shape[0]
+    nb_feat = n3b // 3
+    dtype = ff_l.dtype
+    b = idx_c.shape[0]
+
+    uvl = _uv_of(nb_feat)
+    uvg_c = (3 * idx_c[:, None] + jnp.arange(2)[None, :]).reshape(-1)  # [2B]
+    row_c = (2 * idx_c[:, None] + jnp.arange(2)[None, :]).reshape(-1)  # [2B]
+    meas_c = meas[idx_c]
+    m = jnp.repeat(meas_c, 2).astype(dtype)                   # [2B]
+
+    # ---- assemble U = HΣ over ALL uv rows (same collectives as the full
+    # path), then compact the row set replicated
+    Ub_l = bf_l[:, uvl].T                                     # [2Nb, 22]
+    Uf_l = ff_l[uvl, :]                                       # [2Nb, 3N]
+    Ub = jax.lax.all_gather(Ub_l, AXIS, axis=0, tiled=True)   # [2N, 22]
+    Uf = jax.lax.all_gather(Uf_l, AXIS, axis=0, tiled=True)   # [2N, 3N]
+    Ub_c = Ub[row_c]                                          # [2B, 22]
+    Uf_c = Uf[row_c]                                          # [2B, 3N]
+
+    # ---- S_c = HΣHᵀ + R on the compacted set
+    Rblk = block_diag_R(meas_cov[idx_c])                      # [2B, 2B]
+    S = Uf_c[:, uvg_c] + Rblk
+    mm = m[:, None] * m[None, :]
+    S = S * mm + jnp.diag(1.0 - m)
+    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(jnp.diag(S) * m)
+    S = S + lam * jnp.eye(2 * b, dtype=dtype)
+
+    Ub_m = Ub_c * m[:, None]
+    Uf_m = Uf_c * m[:, None]
+
+    # ---- gain solve at [2B, 2B]; V columns distributed as before
+    chol = cho_factor(S, lower=True)
+    Vb = cho_solve(chol, Ub_m)                                # [2B, 22]
+    Uf_m_mycols = jax.lax.dynamic_slice_in_dim(Uf_m, k * n3b, n3b, 1)
+    Vf_l = cho_solve(chol, Uf_m_mycols)                       # [2B, 3Nb]
+    Vf = jax.lax.all_gather(Vf_l, AXIS, axis=1, tiled=True)   # [2B, 3N]
+
+    solve_ok = jnp.isfinite(Vb).all() & jnp.isfinite(Vf).all()
+    Vb = jnp.where(solve_ok, Vb, 0.0)
+    Vf = jnp.where(solve_ok, Vf, 0.0)
+    Vf_l = jnp.where(solve_ok, Vf_l, 0.0)
+
+    # ---- mean update
+    z_c = measured_uv[idx_c].reshape(-1)                      # [2B]
+    y = (z_c - feat_mu.reshape(-1)[uvg_c]) * m
+    new_base = base_mu + Vb.T @ y
+    new_feat = (feat_mu.reshape(-1) + Vf.T @ y)
+    qn = jnp.linalg.norm(new_base[3:7])
+    new_base = new_base.at[3:7].divide(qn)
+
+    # ---- Joseph covariance on the compacted row set
+    M_bb = bb - Vb.T @ Ub_m                                   # [22, 22]
+    M_bf_l = bf_l - Vb.T @ Uf_m_mycols                        # [22, 3Nb]
+    M_ff_l = ff_l - Vf_l.T @ Uf_m                             # [3Nb, 3N]
+
+    # M_bf columns at the compacted uv positions span shards: gather the
+    # full bf row block (22·3N — same order as the full path's 22·2N)
+    M_bf = jax.lax.all_gather(M_bf_l, AXIS, axis=1, tiled=True)  # [22, 3N]
+    Mbf_uv = M_bf[:, uvg_c]                                   # [22, 2B]
+
+    Rb = meas_cov[idx_c] * meas_c[:, None, None].astype(dtype)  # [B, 2, 2]
+
+    def rmul(X):  # (Rm @ X) for X [2B, c]
+        return jnp.einsum("nij,njc->nic", Rb,
+                          X.reshape(b, 2, -1)).reshape(2 * b, -1)
+
+    new_bb = M_bb - Mbf_uv @ Vb + Vb.T @ rmul(Vb)
+    new_bb = 0.5 * (new_bb + new_bb.T)
+    new_bf_l = M_bf_l - Mbf_uv @ Vf_l + Vb.T @ rmul(Vf_l)
+    new_ff_l = M_ff_l - M_ff_l[:, uvg_c] @ Vf + Vf_l.T @ rmul(Vf)
+    new_ff_l = 0.5 * (new_ff_l + _transpose_ff(new_ff_l, ns))
+
+    new_klt = klt_ref.at[idx_c].set(
+        jnp.where(meas_c[:, None], measured_uv[idx_c], klt_ref[idx_c]))
+    return (new_bb, new_bf_l, new_ff_l, new_base,
+            new_feat.reshape(n, 3), new_klt)
+
+
 def sharded_update(state: ShardedFilterState, cfg: VIOConfig,
                    measured_uv, meas_cov, passed,
-                   mesh: Mesh) -> ShardedFilterState:
-    """Distributed analog of core.update.update_with_feature_positions."""
+                   mesh: Mesh, budget: int | None = None) -> ShardedFilterState:
+    """Distributed analog of core.update.update_with_feature_positions.
+
+    ``budget`` (static) compacts the measured subset before the gain
+    solve, exactly like the dense path: the REPLICATED Cholesky — the
+    serial term of the distributed update — shrinks from [2N, 2N] to
+    [2·budget, 2·budget] (VERDICT r3 #6's sharded half)."""
     meas = passed & state.active
     rep = P()
-    bb, bf, ff, base_mu, feat_mu, klt_ref = _shmap(
-        partial(_update_shard, cfg=cfg), mesh,
-        in_specs=(rep, P(None, AXIS), P(AXIS, None),
-                  rep, rep, rep, rep, rep, rep),
-        out_specs=(rep, P(None, AXIS), P(AXIS, None), rep, rep, rep),
-    )(state.bb, state.bf, state.ff, state.base_mu, state.feat_mu,
-      state.klt_ref, measured_uv, meas_cov, meas)
+    if budget is not None and budget < state.n_max:
+        order = jnp.argsort(~meas, stable=True)
+        idx_c = order[:budget]
+        bb, bf, ff, base_mu, feat_mu, klt_ref = _shmap(
+            partial(_update_shard_compact, cfg=cfg), mesh,
+            in_specs=(rep, P(None, AXIS), P(AXIS, None),
+                      rep, rep, rep, rep, rep, rep, rep),
+            out_specs=(rep, P(None, AXIS), P(AXIS, None), rep, rep, rep),
+        )(state.bb, state.bf, state.ff, state.base_mu, state.feat_mu,
+          state.klt_ref, measured_uv, meas_cov, meas, idx_c)
+    else:
+        bb, bf, ff, base_mu, feat_mu, klt_ref = _shmap(
+            partial(_update_shard, cfg=cfg), mesh,
+            in_specs=(rep, P(None, AXIS), P(AXIS, None),
+                      rep, rep, rep, rep, rep, rep),
+            out_specs=(rep, P(None, AXIS), P(AXIS, None), rep, rep, rep),
+        )(state.bb, state.bf, state.ff, state.base_mu, state.feat_mu,
+          state.klt_ref, measured_uv, meas_cov, meas)
     return state.replace(bb=bb, bf=bf, ff=ff, base_mu=base_mu,
                          feat_mu=feat_mu, klt_ref=klt_ref)
 

@@ -261,3 +261,36 @@ def test_sharded_blackout_recovery_matches_dense():
                                   np.asarray(douts.num_tracked))
     np.testing.assert_allclose(np.asarray(souts.base_mu),
                                np.asarray(douts.base_mu), atol=2e-3)
+
+
+def test_sharded_update_compacted_parity(dense_state, cfg, mesh):
+    """Budgeted sharded update (replicated Cholesky at [2B,2B]) matches
+    both the full sharded update and the dense compacted path when the
+    measured count fits the budget (VERDICT r3 #6, sharded half)."""
+    mc = jnp.tile(jnp.eye(2) * 1e-5, (cfg.max_features, 1, 1))
+    passed = (jnp.arange(cfg.max_features) % 2 == 0) & dense_state.active
+    n_meas = int(jnp.sum(passed & dense_state.active))
+    budget = n_meas + 2
+    z = dense_state.feat_mu[:, :2] + 0.004
+
+    d = jax.jit(ekf.update_with_feature_positions,
+                static_argnums=(1, 5))(dense_state, cfg, z, mc, passed,
+                                       budget)
+    s = jax.jit(sf.sharded_update, static_argnums=(1, 5, 6))(
+        place(dense_state, mesh), cfg, z, mc, passed, mesh, budget)
+    m = sf.merge_state(s)
+    np.testing.assert_allclose(np.asarray(m.base_mu), np.asarray(d.base_mu),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m.feat_mu), np.asarray(d.feat_mu),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m.Sigma), np.asarray(d.Sigma),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m.klt_ref),
+                                  np.asarray(d.klt_ref))
+
+    # and against the FULL sharded update (same measurement set)
+    s_full = jax.jit(sf.sharded_update, static_argnums=(1, 5))(
+        place(dense_state, mesh), cfg, z, mc, passed, mesh)
+    mf = sf.merge_state(s_full)
+    np.testing.assert_allclose(np.asarray(m.Sigma), np.asarray(mf.Sigma),
+                               atol=1e-4)
