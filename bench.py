@@ -210,7 +210,7 @@ def main():
     imu_fps = bench_tpu_imu()
     batch16_fps = bench_tpu_batched(frames, times, batch=16)
 
-    print(json.dumps({
+    out = {
         "metric": "vio_pipeline_frames_per_s",
         "value": round(tpu_fps, 2),
         "unit": "frames/s (640x480 in, /4 processed, 100 features, 1 chip)",
@@ -218,7 +218,18 @@ def main():
         "mono_inertial_fps": round(imu_fps, 2),
         "batch16_aggregate_fps": round(batch16_fps, 2),
         "batch16_speedup": round(batch16_fps / tpu_fps, 2),
-    }))
+    }
+    # B in {1,4,16,64} curve from the standing artifact (regenerated by
+    # benchmarks/batch_scaling.py — too many one-off compiles to redo on
+    # every bench invocation)
+    curve_path = os.path.join(REPO, "benchmarks", "batch_scaling.json")
+    if os.path.exists(curve_path):
+        with open(curve_path) as f:
+            curve = json.load(f)
+        out["batch_curve_fps"] = {
+            k: curve[k] for k in sorted(curve)
+            if k.endswith("_aggregate_fps")}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -124,7 +124,18 @@ def _render(tex, K, R, p, plane_depth, tex_scale, h, w, dist=None):
         rays = np.stack([x_u * K[0, 0] + K[0, 2],
                          y_u * K[1, 1] + K[1, 2], np.ones(h * w)], 0)
     d_w = R @ (Kinv @ rays)                    # ray directions in world
-    lam = (plane_depth - p[2]) / d_w[2]        # intersection with plane
+    if np.ndim(plane_depth) == 0:
+        lam = (plane_depth - p[2]) / d_w[2]    # intersection with plane
+    else:
+        # depth-diverse scene: two fronto-parallel planes split at world
+        # x = 0 (near plane on the left) — exercises simultaneous
+        # estimation of very different feature depths (the single-plane
+        # scene lets one shared depth explain everything)
+        za, zb = plane_depth
+        lam_a = (za - p[2]) / d_w[2]
+        xa = p[0] + lam_a * d_w[0]
+        lam_b = (zb - p[2]) / d_w[2]
+        lam = np.where(xa < 0.0, lam_a, lam_b)
     pts = p[:, None] + lam * d_w               # [3, HW] world points
     # texture coords: plane x/y mapped at tex_scale px per meter, centered
     tx = pts[0] * tex_scale + tex.shape[1] / 2

@@ -119,3 +119,57 @@ def test_full_vio_imu_mode_runs(seq):
     ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=True)
     assert np.isfinite(np.asarray(outs.base_mu)).all()
     assert ate < 0.2
+
+
+class TestDepthDiverseScene:
+    """Two-plane rendered scene (near plane left of world x=0, far plane
+    right): the filter must hold wildly different feature depths at once —
+    a single fronto-parallel plane lets one shared depth explain every
+    feature, which under-tests the inverse-depth states."""
+
+    def test_vision_only_two_plane(self):
+        import jax.numpy as jnp
+
+        from ekf_vio_tpu import engine
+        from ekf_vio_tpu.config import VIOConfig
+        from ekf_vio_tpu.sim import rendered
+
+        seq = rendered.generate(num_frames=40, w=320, h=240,
+                                plane_depth=(1.2, 3.0))
+        cfg = VIOConfig(max_features=48, min_new_feature_dist=12.0,
+                        fast_threshold=25)
+        cam = engine.make_hashable_camera(seq.K, 320, 240)
+        _, outs = engine.run_sequence(jnp.asarray(seq.frames),
+                                      jnp.asarray(seq.times), cfg, cam)
+        assert np.isfinite(np.asarray(outs.base_mu)).all()
+        assert np.asarray(outs.num_tracked)[3:].min() > 10
+        err = np.linalg.norm(np.asarray(outs.base_mu)[-1, :3]
+                             - seq.gt_pos[-1])
+        # vision-only scale is unobservable; raw error still bounded
+        assert err < 0.12, f"two-plane vision error {err}"
+
+    def test_mono_inertial_two_plane(self):
+        import jax.numpy as jnp
+
+        from ekf_vio_tpu import engine
+        from ekf_vio_tpu.config import VIOConfig
+        from ekf_vio_tpu.sim import rendered
+
+        seq = rendered.generate(num_frames=40, w=320, h=240,
+                                plane_depth=(1.2, 3.0))
+        cfg = VIOConfig(max_features=48, min_new_feature_dist=12.0,
+                        fast_threshold=25, triangulate_new_features=True,
+                        klt_measurement_variance_px=0.05)
+        cam = engine.make_hashable_camera(seq.K, 320, 240)
+        _, outs = engine.run_sequence_imu(
+            jnp.asarray(seq.frames), jnp.asarray(seq.times),
+            jnp.asarray(seq.imu_dt), jnp.asarray(seq.imu_gyro),
+            jnp.asarray(seq.imu_accel), jnp.asarray(seq.gravity_w),
+            cfg, cam, init_frames=cfg.vi_init_frames)
+        assert np.isfinite(np.asarray(outs.base_mu)).all()
+        assert np.asarray(outs.num_tracked)[3:].min() > 10
+        err = np.linalg.norm(np.asarray(outs.base_mu)[-1, :3]
+                             - seq.gt_pos[-1])
+        # with IMU the scale is metric: a tight absolute bound holds even
+        # with mixed 1.2 m / 3.0 m depths
+        assert err < 0.03, f"two-plane mono error {err}"
