@@ -80,7 +80,7 @@ def main():
         jax.block_until_ready(outs)
         dt = time.time() - t0
         fps = b * (N_FRAMES - 1) / dt
-        if b == 1:
+        if fps1 is None:  # first SUCCESSFUL B anchors the speedup column
             fps1 = fps
         report[f"b{b}_aggregate_fps"] = round(fps, 1)
         report[f"b{b}_speedup"] = round(fps / fps1, 2)

@@ -27,9 +27,14 @@ if not _os.environ.get("EKF_VIO_NO_COMPILE_CACHE"):
         _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), ".jax_cache"))
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # respect a host application's own cache configuration: only fill
+        # in when nothing is configured (library etiquette)
+        if getattr(_jax.config, "jax_compilation_cache_dir", None) is None:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+            _jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax without these knobs: cache is best-effort
         pass
 

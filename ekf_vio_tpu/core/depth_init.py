@@ -87,6 +87,30 @@ def refine_depth_gn(h1, h2, R, t, z0, iters: int = 5):
     return z
 
 
+def triangulation_confidence(cfg, fx, fy, rel_sigma, exact_baseline: bool):
+    """Shared gating/width policy for two-view depths (single source for
+    the dense AND sharded engines' boot + replenish paths).
+
+    Returns (mean_ok [N] bool, rel [N]):
+      * mean_ok — accept the triangulated MEAN: expected relative depth
+        error σ_angle·rel_sigma below cfg.triangulation_max_rel_error
+        (a wrong mean poisons the transport linearization no matter how
+        wide the prior);
+      * rel — relative 1σ width for the depth prior: the geometric
+        amplification (2x safety) FLOORED by how much of the error model
+        is actually known — with an exact (IMU-integrated) baseline the
+        angular-noise model is the whole story (floor = the bootstrap
+        relative sigma); a filter-velocity baseline is itself uncertain
+        (circular), so the prior stays near-uninformative (100%).
+    Use σ_ρ = rel·ρ (equivalently σ_z = rel·z).
+    """
+    sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (fx + fy)
+    mean_ok = sigma_ang * rel_sigma < cfg.triangulation_max_rel_error
+    rel_floor = cfg.bootstrap_depth_sigma_rel if exact_baseline else 1.0
+    rel = jnp.maximum(2.0 * sigma_ang * rel_sigma, rel_floor)
+    return mean_ok, rel
+
+
 def triangulate_depths(h_prev, h_cur, base_mu, dt, default_depth: float,
                        refine: bool = True, Rt=None, return_rel_sigma=False):
     """Frame-*current* depths for new features seen in both frames.

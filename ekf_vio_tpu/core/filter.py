@@ -42,6 +42,11 @@ def update_with_feature_positions(state, cfg, measured_uv, meas_cov, passed,
     conditioning/cost tradeoff.  ``budget`` (static) compacts the measured
     subset before factorization (dense path; see core/update.py)."""
     if cfg.square_root_form:
+        if budget is not None:
+            raise ValueError(
+                "measured-subset compaction (budget) is implemented for "
+                "the covariance-form update only; the sqrt QR-array "
+                "update runs the full masked system")
         from ekf_vio_tpu.core import sqrt_filter
 
         return sqrt_filter.update_sqrt(state, cfg, measured_uv, meas_cov,

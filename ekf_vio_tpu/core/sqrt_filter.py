@@ -114,7 +114,11 @@ def wipe_rows_factor(L: jnp.ndarray, wipe: jnp.ndarray,
     """
     w = wipe.astype(L.dtype)
     L1 = L * (1.0 - w)[:, None]
-    add = jnp.diag(jnp.sqrt(jnp.maximum(new_diag, 0.0)) * w)
+    # where-select, not multiply: new_diag may carry NaN at NON-wiped rows
+    # (e.g. sig_tri computed over all slots incl. NaN-mean dead ones) and
+    # NaN*0 = NaN would poison the whole factor through the QR
+    add = jnp.diag(jnp.where(w > 0.0,
+                             jnp.sqrt(jnp.maximum(new_diag, 0.0)), 0.0))
     return _tria(jnp.concatenate([L1.T, add], axis=0))
 
 

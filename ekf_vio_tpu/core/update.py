@@ -81,6 +81,7 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed, budget=None):
     d = state.state_dim
     meas_full = passed & state.active                 # [N]
 
+    measured_uv_full = measured_uv
     if budget is not None and budget < n_full:
         n = budget
         # stable argsort of ~meas: measured slots first, in slot order
@@ -156,10 +157,15 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed, budget=None):
     base_mu = mu[:BASE_STATE_SIZE]
     feat_mu = mu[BASE_STATE_SIZE:].reshape(n_full, 3)
 
-    # Cache tracker results for measured features (Feature.h:43 semantics).
+    # Cache tracker results for ALL measured features (Feature.h:43
+    # semantics) — including, under compaction, the measured-but-over-
+    # budget ones: the measurement is valid regardless of whether the
+    # EKF correction was applied, and a stale klt_ref would bias the next
+    # frame's LK template by the accumulated inter-frame motion until the
+    # search margin kills the track (sustained-overflow starvation).
     if budget is not None and budget < n_full:
-        klt_ref = state.klt_ref.at[idx_c].set(
-            jnp.where(meas[:, None], measured_uv, state.klt_ref[idx_c]))
+        klt_ref = jnp.where(meas_full[:, None], measured_uv_full,
+                            state.klt_ref)
     else:
         klt_ref = jnp.where(meas[:, None], measured_uv, state.klt_ref)
 

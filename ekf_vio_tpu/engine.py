@@ -218,21 +218,15 @@ def step(
             filt.klt_ref, measured_uv, filt.base_mu, dt,
             cfg.default_point_depth, Rt=Rt, return_rel_sigma=True)
         rho_new = 1.0 / z_boot
-        # prior width matched to the triangulation geometry: two-view
-        # depth error amplifies angular noise by 1/parallax; a fixed
-        # relative sigma on a near-degenerate pair is a confidently-wrong
-        # prior (round-4 fix — the r3 vision/mono divergence transients
-        # traced to exactly such features)
-        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
-            cam.fx + cam.fy)
-        sig_tri = jnp.maximum(cfg.bootstrap_depth_sigma_rel,
-                              2.0 * sigma_ang * rel_sig) * rho_new
+        # shared gate/width policy (core/depth_init.py): mean accepted
+        # only under bounded expected error (a wrong mean poisons the
+        # transport linearization), prior width matched to the
+        # triangulation geometry (round-4 fix — the r3 vision/mono
+        # divergence transients traced to confidently-wrong depths)
+        good, rel = depth_init.triangulation_confidence(
+            cfg, cam.fx, cam.fy, rel_sig, exact_baseline=True)
+        sig_tri = rel * rho_new
         disagrees = jnp.abs(rho_new - filt.feat_mu[:, 2]) > sig_tri
-        # mean-quality gate: accept the triangulated ρ only when its
-        # relative error is bounded (<50%) — the transport Jacobians
-        # linearize at the mean, so a 25x-wrong depth poisons F even
-        # under a wide prior
-        good = sigma_ang * rel_sig < cfg.triangulation_max_rel_error
         boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & good & passed
                 & filt.active & disagrees)
 
@@ -307,24 +301,13 @@ def step(
         z_cur, tri_ok, rel_sig = depth_init.triangulate_depths(
             h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth,
             Rt=Rt, return_rel_sigma=True)
-        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
-            cam.fx + cam.fy)
-        # mean-quality gate (see the boot path): only accept depths whose
-        # relative triangulation error is bounded
-        used = (tri_ok & back.status
-                & (sigma_ang * rel_sig < cfg.triangulation_max_rel_error))
+        # shared gate/width policy (core/depth_init.py — measured on the
+        # rendered benchmark: tight vision-baseline priors cost 31% ATE)
+        good, rel = depth_init.triangulation_confidence(
+            cfg, cam.fx, cam.fy, rel_sig, exact_baseline=Rt is not None)
+        used = tri_ok & back.status & good
         depths = jnp.where(used, z_cur, cfg.default_point_depth)
-        # Depth-prior width from the triangulation geometry (σ_ρ ≈
-        # ρ·σ_angle/parallax, 2x safety), FLOORED by how much of the
-        # error model we actually know: with an exact IMU baseline the
-        # angular-noise model is the whole story (floor = the bootstrap
-        # relative sigma); vision-only triangulates against the filter's
-        # OWN velocity estimate (circular), so the prior stays near-
-        # uninformative (100% relative — measured: tight vision priors
-        # cost 31% ATE on the rendered benchmark).
-        rel_floor = cfg.bootstrap_depth_sigma_rel if Rt is not None else 1.0
-        sig_rho = jnp.maximum(2.0 * sigma_ang * rel_sig, rel_floor) \
-            / jnp.maximum(depths, 1e-3)
+        sig_rho = rel / jnp.maximum(depths, 1e-3)
         depth_vars = jnp.where(used, sig_rho * sig_rho,
                                cfg.default_point_depth_variance)
     # add_features also seeds klt_ref for the new slots

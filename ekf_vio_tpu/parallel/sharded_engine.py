@@ -92,13 +92,12 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
             filt.klt_ref, measured_uv, filt.base_mu, dt,
             cfg.default_point_depth, Rt=Rt, return_rel_sigma=True)
         rho_new = 1.0 / z_boot
-        # parallax-matched prior width (mirrors engine.step exactly)
-        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
-            cam.fx + cam.fy)
-        sig_tri = jnp.maximum(cfg.bootstrap_depth_sigma_rel,
-                              2.0 * sigma_ang * rel_sig) * rho_new
+        # shared gate/width policy (core/depth_init.py) — same call as
+        # engine.step, so dense and sharded cannot fork
+        good, rel = depth_init.triangulation_confidence(
+            cfg, cam.fx, cam.fy, rel_sig, exact_baseline=True)
+        sig_tri = rel * rho_new
         disagrees = jnp.abs(rho_new - filt.feat_mu[:, 2]) > sig_tri
-        good = sigma_ang * rel_sig < cfg.triangulation_max_rel_error
         boot = ((filt.age <= cfg.bootstrap_max_age) & tri_ok & good & passed
                 & filt.active & disagrees)
 
@@ -147,15 +146,11 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
         z_cur, tri_ok, rel_sig = depth_init.triangulate_depths(
             h_prev, cand_uv, filt.base_mu, dt, cfg.default_point_depth,
             Rt=Rt, return_rel_sigma=True)
-        sigma_ang = jnp.sqrt(cfg.klt_measurement_variance_px) * 2.0 / (
-            cam.fx + cam.fy)
-        used = (tri_ok & back.status
-                & (sigma_ang * rel_sig < cfg.triangulation_max_rel_error))
+        good, rel = depth_init.triangulation_confidence(
+            cfg, cam.fx, cam.fy, rel_sig, exact_baseline=Rt is not None)
+        used = tri_ok & back.status & good
         depths = jnp.where(used, z_cur, cfg.default_point_depth)
-        # floored prior width — mirrors engine.step exactly
-        rel_floor = cfg.bootstrap_depth_sigma_rel if Rt is not None else 1.0
-        sig_rho = jnp.maximum(2.0 * sigma_ang * rel_sig, rel_floor) \
-            / jnp.maximum(depths, 1e-3)
+        sig_rho = rel / jnp.maximum(depths, 1e-3)
         depth_vars = jnp.where(used, sig_rho * sig_rho,
                                cfg.default_point_depth_variance)
     filt = sf.sharded_add_features(filt, cfg, cand_uv, cand_valid, mesh,

@@ -493,8 +493,10 @@ def _update_shard_compact(bb, bf_l, ff_l, base_mu, feat_mu, klt_ref,
     new_ff_l = M_ff_l - M_ff_l[:, uvg_c] @ Vf + Vf_l.T @ rmul(Vf)
     new_ff_l = 0.5 * (new_ff_l + _transpose_ff(new_ff_l, ns))
 
-    new_klt = klt_ref.at[idx_c].set(
-        jnp.where(meas_c[:, None], measured_uv[idx_c], klt_ref[idx_c]))
+    # cache ALL measured tracker results — incl. measured-but-over-budget
+    # features, whose klt_ref would otherwise go stale (see the dense
+    # compacted path in core/update.py)
+    new_klt = jnp.where(meas[:, None], measured_uv, klt_ref)
     return (new_bb, new_bf_l, new_ff_l, new_base,
             new_feat.reshape(n, 3), new_klt)
 
