@@ -26,6 +26,10 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+import ekf_vio_tpu  # noqa: E402
+
+ekf_vio_tpu.enable_compile_cache()
 BASELINE_CACHE = os.path.join(REPO, "baseline_cpu.json")
 
 W_IN, H_IN = 640, 480

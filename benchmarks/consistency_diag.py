@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import ekf_vio_tpu  # noqa: E402
+
+ekf_vio_tpu.enable_compile_cache()
+
 from ekf_vio_tpu.config import VIOConfig  # noqa: E402
 from ekf_vio_tpu.sim import rendered  # noqa: E402
 

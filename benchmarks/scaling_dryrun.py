@@ -29,6 +29,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import ekf_vio_tpu  # noqa: E402
+
+ekf_vio_tpu.enable_compile_cache()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import ekf_vio_tpu  # noqa: E402
+
+ekf_vio_tpu.enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

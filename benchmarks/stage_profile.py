@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import ekf_vio_tpu  # noqa: E402
+
+ekf_vio_tpu.enable_compile_cache()
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

@@ -68,8 +68,14 @@ def cmd_run(args) -> int:
     s = cfg.inverse_image_scale
     summary = {"config": args.config or "defaults"}
 
+    # Mono-inertial mode comes from the profile (cfg.use_imu — a profile
+    # like configs/mono_inertial.yaml is self-sufficient); --imu forces it
+    # on, --no-imu forces vision-only (CLI flags are overrides).
+    want_imu = (cfg.use_imu or args.imu) and not args.no_imu
+
     imu = None
     gt = None
+    gravity = None
     if args.euroc:
         from ekf_vio_tpu.io import euroc
 
@@ -82,10 +88,28 @@ def cmd_run(args) -> int:
         count = args.frames or len(seq.image_paths)
         frames, K = euroc.load_images(seq, count=count, inverse_scale=s)
         times = seq.image_times[:count]
-        if args.imu:
-            imu = euroc.imu_between_frames(seq, count=count)
+        if want_imu:
+            # batch width from the profile's nominal IMU rate and the
+            # sequence's actual frame cadence (zero-dt rows are padding)
+            frame_dt = float(np.median(np.diff(times))) if count > 1 else 0.05
+            max_per = max(int(np.ceil(cfg.imu_rate_hz * frame_dt)) + 2, 4)
+            imu = euroc.imu_between_frames(seq, count=count,
+                                           max_per_frame=max_per)
         gt = (seq.gt_times, seq.gt_pos)
         summary["sequence"] = args.euroc
+    elif args.rendered:
+        # photometrically-rendered synthetic scene with exact IMU + GT
+        # (sim/rendered.py) — mono-inertial runs with no dataset on disk
+        from ekf_vio_tpu.sim import rendered
+
+        seq = rendered.generate(num_frames=args.rendered)
+        frames, times = seq.frames, seq.times
+        K = seq.K
+        if want_imu:
+            imu = (seq.imu_dt, seq.imu_gyro, seq.imu_accel)
+            gravity = seq.gravity_w
+        gt = (seq.times, seq.gt_pos)
+        summary["sequence"] = f"rendered[{args.rendered}]"
     else:
         n = args.synthetic or 120
         frames_full, times = _make_synthetic(n)
@@ -104,21 +128,24 @@ def cmd_run(args) -> int:
     imgs = jnp.asarray(frames)
     ts = jnp.asarray(times)
 
+    if imu is not None and gravity is None:
+        from ekf_vio_tpu.core.imu import estimate_gravity_world
+
+        gravity = estimate_gravity_world(jnp.asarray(imu[2][0]))
+
     ctx = trace(args.profile) if args.profile else _null_ctx()
     with ctx:
         if args.insight_dir:
             estate, outs, fps = _run_streaming(
-                imgs, ts, cfg, cam, imu, args.insight_dir, args.log_every)
+                imgs, ts, cfg, cam, imu, args.insight_dir, args.log_every,
+                gravity_w=gravity)
         else:
             timer = FrameTimer()
             with timer.frame():
                 if imu is not None:
-                    from ekf_vio_tpu.core.imu import estimate_gravity_world
-
-                    g = estimate_gravity_world(jnp.asarray(imu[2][0]))
                     estate, outs = engine.run_sequence_imu(
                         imgs, ts, jnp.asarray(imu[0]), jnp.asarray(imu[1]),
-                        jnp.asarray(imu[2]), g, cfg, cam,
+                        jnp.asarray(imu[2]), jnp.asarray(gravity), cfg, cam,
                         init_frames=cfg.vi_init_frames)
                 else:
                     estate, outs = engine.run_sequence(imgs, ts, cfg, cam)
@@ -164,9 +191,12 @@ def _null_ctx():
     return contextlib.nullcontext()
 
 
-def _run_streaming(imgs, ts, cfg, cam, imu, insight_dir, log_every):
+def _run_streaming(imgs, ts, cfg, cam, imu, insight_dir, log_every,
+                   gravity_w=None):
     """Per-frame host loop: slower than the scan rollout, but exposes the
-    filter state each frame for insight rendering (EKFVIO.cpp:379-442)."""
+    filter state each frame for insight rendering (EKFVIO.cpp:379-442),
+    including the per-feature covariance error ellipses
+    (EKFVIO.cpp:316-377)."""
     import jax
     import jax.numpy as jnp
 
@@ -180,7 +210,8 @@ def _run_streaming(imgs, ts, cfg, cam, imu, insight_dir, log_every):
     if imu is not None:
         from ekf_vio_tpu.core import imu as imu_mod
 
-        g = jnp.array([0.0, 0.0, -cfg.gravity])
+        g = (jnp.asarray(gravity_w) if gravity_w is not None
+             else jnp.array([0.0, 0.0, -cfg.gravity]))
 
     estate = engine.initialize(imgs[0], ts[0], cfg, cam)
     timer = FrameTimer(log_every=log_every)
@@ -201,8 +232,14 @@ def _run_streaming(imgs, ts, cfg, cam, imu, insight_dir, log_every):
         filt = estate.filt
         feat_px = np.asarray(cam_mod.metric_to_pixel(cam, filt.feat_mu[:, :2]))
         img_u8 = np.asarray(imgs[i])
+        # covariance error ellipses (factor mode stores L; Σ = L Lᵀ)
+        Sigma = np.asarray(filt.Sigma)
+        if cfg.square_root_form:
+            Sigma = Sigma @ Sigma.T
+        cov_px = insight.feature_pixel_covariances(
+            Sigma, cam.fx, cam.fy, cfg.max_features)
         frame = insight.render_insight(
-            img_u8, feat_px, np.asarray(filt.active))
+            img_u8, feat_px, np.asarray(filt.active), feat_cov_px=cov_px)
         _write_png(os.path.join(insight_dir, f"{i:06d}.png"), frame)
 
     outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
@@ -263,8 +300,14 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--euroc", help="EuRoC sequence name or mav0 path")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="run on N synthetic frames")
+    src.add_argument("--rendered", type=int, metavar="N",
+                     help="run on N rendered-scene frames (IMU + GT, "
+                          "sim/rendered.py)")
     r.add_argument("--config", help="YAML profile (configs/*.yaml)")
-    r.add_argument("--imu", action="store_true", help="mono-inertial mode")
+    r.add_argument("--imu", action="store_true",
+                   help="force mono-inertial mode (overrides the profile)")
+    r.add_argument("--no-imu", action="store_true",
+                   help="force vision-only mode (overrides the profile)")
     r.add_argument("--frames", type=int, help="limit frame count")
     r.add_argument("--out", help="write TUM trajectory here")
     r.add_argument("--insight-dir", help="dump annotated insight PNGs (streaming)")
@@ -285,6 +328,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ekf_vio_tpu import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -71,6 +71,13 @@ class VIOConfig:
 
     # ---- measurement model
     klt_measurement_variance_px: float = 1e-5  # constant 2x2 R in px^2 (KLTTracker.cpp:100-106)
+    # "constant": diagonal R from klt_measurement_variance_px — what the
+    #   reference actually runs (KLTTracker.cpp:100-106).
+    # "sample": the reference's written-but-never-wired SSD estimator
+    #   (KLTTracker.cpp:111-175) as a live option — per-feature 2x2 R from
+    #   the SSD response surface around the tracked position, floored at
+    #   klt_measurement_variance_px.  Weights corner quality per feature.
+    klt_covariance: str = "constant"
 
     # ---- process noise (per-second rates; reference hand-tuned values
     #      TightlyCoupledEKF.cpp:126-131, each multiplied by dt)
@@ -87,9 +94,11 @@ class VIOConfig:
     init_bias_variance: float = 0.5
 
     # ---- pipeline thresholds
-    start_feature_count: int = 20        # D_START_FEATURE_COUNT (Params.h:49)
+    # (D_START_FEATURE_COUNT is vestigial in the reference — loaded at
+    # EKFVIO.cpp:32 and read by no algorithm; D_FRAME_BUFFER_SIZE only
+    # trims a ROS frame queue, EKFVIO.cpp:201, which the scan rollout has
+    # no analog of.  Both intentionally omitted, like the MOBA/SBA knobs.)
     minimum_trackable_features: int = 4  # D_MINIMUM_TRACKABLE_FEATURES (Params.h:55)
-    frame_buffer_size: int = 2           # D_FRAME_BUFFER_SIZE (Params.h:58)
     # act on tracking_lost (the reference only logs it, EKFVIO.cpp:192):
     # re-bootstrap the filter — free all slots, re-inflate kinematic
     # variances, re-detect — instead of filtering on garbage
@@ -97,7 +106,11 @@ class VIOConfig:
 
     # ---- IMU fusion (new capability; reference declares USE_IMU but never
     #      fuses IMU data — EKFVIO.cpp:113-115, SURVEY.md §0)
+    # use_imu selects mono-inertial mode from a profile (the CLI's --imu
+    # flag is an override; configs/mono_inertial.yaml is self-sufficient)
     use_imu: bool = False            # D_USE_IMU is true but inert in reference
+    # nominal IMU rate: sizes the per-camera-interval sample batch the
+    # loaders emit (io/euroc.py imu_between_frames)
     imu_rate_hz: float = 200.0
     imu_gyro_noise: float = 1.7e-4   # rad/s/sqrt(Hz), EuRoC-class MEMS defaults
     imu_accel_noise: float = 2.0e-3  # m/s^2/sqrt(Hz)
@@ -123,7 +136,6 @@ class VIOConfig:
     use_fej: bool = True
 
     # ---- numerics
-    dtype: Any = None                # resolved lazily to jnp.float32
     # Square-root (Cholesky-factor) predict/update (core/sqrt_filter.py):
     # every covariance op becomes an orthogonal triangularization — PSD by
     # construction, no Cholesky of S, no spectral floor needed.  ~2-3x the
@@ -149,6 +161,14 @@ class VIOConfig:
         # capacity bounds the target count
         if self.max_features < self.num_features:
             object.__setattr__(self, "num_features", self.max_features)
+        if self.joseph_form not in ("expanded", "product"):
+            raise ValueError(
+                f"joseph_form must be 'expanded' or 'product', "
+                f"got {self.joseph_form!r}")
+        if self.klt_covariance not in ("constant", "sample"):
+            raise ValueError(
+                f"klt_covariance must be 'constant' or 'sample', "
+                f"got {self.klt_covariance!r}")
 
     # state layout helpers -------------------------------------------------
     BASE_STATE_SIZE = 22  # TightlyCoupledEKF.h:11-12

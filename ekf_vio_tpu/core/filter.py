@@ -42,7 +42,9 @@ def update_with_feature_positions(state, cfg, measured_uv, meas_cov, passed,
     conditioning/cost tradeoff.  ``budget`` (static) compacts the measured
     subset before factorization (dense path; see core/update.py)."""
     if cfg.square_root_form:
-        if budget is not None:
+        # budget >= n_max is the dense path's no-op; only an actual
+        # compaction request is unimplemented for the QR-array update
+        if budget is not None and budget < state.n_max:
             raise ValueError(
                 "measured-subset compaction (budget) is implemented for "
                 "the covariance-form update only; the sqrt QR-array "

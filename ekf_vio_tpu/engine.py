@@ -248,7 +248,23 @@ def step(
         filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(rho),
                             Sigma=Sigma)
 
-    meas_cov = klt.measurement_covariance_metric(cam.fx, cam.fy, cfg.max_features, cfg)
+    if cfg.klt_covariance == "sample":
+        # per-feature R from the SSD response surface (the reference's
+        # unwired estimator, KLTTracker.cpp:111-175, live as an option);
+        # pixel² -> metric² via the 1/f scaling (KLTTracker.cpp:75-84),
+        # floored at the constant-R value so a flat response surface
+        # cannot claim better-than-constant precision
+        cov_px = klt.estimate_uncertainty_sample_based(
+            estate.prev_pyr[0], cur_pyr[0], prev_px, res.points)
+        floor = cfg.klt_measurement_variance_px
+        eye2 = jnp.eye(2)
+        cov_px = cov_px + floor * eye2[None]
+        scale = jnp.array([[1.0 / (cam.fx * cam.fx), 1.0 / (cam.fx * cam.fy)],
+                           [1.0 / (cam.fx * cam.fy), 1.0 / (cam.fy * cam.fy)]])
+        meas_cov = cov_px * scale[None]
+    else:
+        meas_cov = klt.measurement_covariance_metric(
+            cam.fx, cam.fy, cfg.max_features, cfg)
     innov = ekf.innovation_stats(filt, measured_uv, passed)
     if sq:
         filt = sqrt_filter.update_sqrt_factor(filt, cfg, measured_uv,

@@ -143,6 +143,24 @@ def _patches_from_strips(rows_ref, px0):
     return _bdot_t(rows_ref[:].astype(jnp.bfloat16), colsel)   # f32
 
 
+def _col_patches(strips, x0):
+    """[BN, PATCH, PATCH] bf16 patches: per-feature column selection from
+    the row strips as one batched bf16 one-hot matmul, XLA-side.
+
+    Used for wide levels whose [BLK, PATCH, Wp] strips would blow the
+    prep kernel's VMEM budget (640-wide level 0 at the reference's native
+    resolution): with selection hoisted here the kernel's working set is
+    image-size-independent.  Exact — one-hot selection of bf16-rounded
+    image values loses nothing (the in-kernel path selects from the same
+    bf16 strips)."""
+    w = strips.shape[-1]
+    xs = jnp.clip(x0[:, None] + jnp.arange(PATCH)[None], 0, w - 1)
+    colsel = jax.nn.one_hot(xs, w, dtype=jnp.bfloat16)         # [BN,40,W]
+    return jax.lax.dot_general(
+        strips, colsel, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
 def _scharr(patch):
     """Scharr x/y derivatives of [B, H, W] patches, edge-replicated."""
     def shift_rows(x, d):
@@ -182,14 +200,19 @@ def _sample(patch, center, win):
 def _prep_kernel(prev_rows_ref, cur_rows_ref, px0_ref, cx0_ref,
                  q_ref, g_ref, po_ref, co_ref,
                  corr_ref, hinv_ref, a_ref, me_ref, co_out_ref,
-                 cs_ref, tpl_ref, *, win, emit_cs):
+                 cs_ref, tpl_ref, *, win, emit_cs, from_patches=False):
     """Per-level preparation: patches (column selection from the
-    XLA-extracted row strips), gradients, Hessian, corr tables."""
+    XLA-extracted row strips — or, for wide levels, pre-selected
+    [B, PATCH, PATCH] patches), gradients, Hessian, corr tables."""
     b = q_ref.shape[0]
     q = q_ref[:]                                   # [B,2] padded level px
 
-    ps = _patches_from_strips(prev_rows_ref, px0_ref[:])  # [B,40,40]
-    cs = _patches_from_strips(cur_rows_ref, cx0_ref[:])
+    if from_patches:
+        ps = prev_rows_ref[:].astype(jnp.float32)  # [B,40,40] bf16 in
+        cs = cur_rows_ref[:].astype(jnp.float32)
+    else:
+        ps = _patches_from_strips(prev_rows_ref, px0_ref[:])  # [B,40,40]
+        cs = _patches_from_strips(cur_rows_ref, cx0_ref[:])
 
     po = po_ref[:]
     co = co_ref[:]
@@ -435,8 +458,19 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
         prev_rows = _row_strips(prev, py0, N)                  # [bn,40,Wp]
         cur_rows = _row_strips(cur, cy0, N)
 
+        # wide levels: column selection hoisted to XLA as well, so the
+        # kernel's VMEM working set stays image-size-independent (this is
+        # what admits 640-wide level 0 — the reference's native camera
+        # resolution, launch/sensorRig1.launch:20)
+        from_patches = _prep_vmem_bytes(wp) > 12 * 1024 * 1024
+        if from_patches:
+            prev_rows = _col_patches(prev_rows, px0)           # [bn,40,40]
+            cur_rows = _col_patches(cur_rows, cx0)
+        in_w = PATCH if from_patches else wp
+
         emit_cs = lvl == 0
-        prep = functools.partial(_prep_kernel, win=win, emit_cs=emit_cs)
+        prep = functools.partial(_prep_kernel, win=win, emit_cs=emit_cs,
+                                 from_patches=from_patches)
         out_shapes = [
             jax.ShapeDtypeStruct((bn, 2, _TW), jnp.float32),  # corr
             jax.ShapeDtypeStruct((bn, 4), jnp.float32),            # hinv
@@ -451,8 +485,8 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
         grid_spec = pl.GridSpec(
             grid=(bn // _BLK,),
             in_specs=[
-                pl.BlockSpec((_BLK, PATCH, wp), lambda i: (i, 0, 0)),
-                pl.BlockSpec((_BLK, PATCH, wp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((_BLK, PATCH, in_w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((_BLK, PATCH, in_w), lambda i: (i, 0, 0)),
                 pl.BlockSpec((_BLK, 1), lambda i: (i, 0)),
                 pl.BlockSpec((_BLK, 1), lambda i: (i, 0)),
                 pl.BlockSpec((_BLK, 2), lambda i: (i, 0)),
@@ -603,19 +637,16 @@ def supported(level0_shape, n: int, win: int = 21) -> bool:
     * the corr-table geometry (_PAD/_DT/_KR/_TW) is derived for the
       reference's 21x21 window (Params.h:104) — other window sizes must
       take the XLA path;
-    * feature count must tile the prep block;
-    * the estimated prep-kernel working set (row strips + selector/
-      correlation intermediates, ``_prep_vmem_bytes``) must fit VMEM
-      with margin.  640-wide level-0 exceeds this and falls back to the
-      level-wise pallas_klt kernel; the reference operating point
-      (÷4 => 160x120, Params.h:46) and the rendered benchmark (320x240)
-      fit easily.
+    * feature count must tile the prep block.
+
+    Image size does NOT constrain the path: narrow levels keep column
+    selection inside the prep kernel (strips in VMEM); wide levels (the
+    reference's native 640x480, launch/sensorRig1.launch:20) hoist it to
+    an XLA batched one-hot bmm (``_col_patches``) so the kernel working
+    set is image-size-independent.  The per-level switch is
+    ``_prep_vmem_bytes`` in ``_track_batched``.
     """
-    if win != 21:
-        return False
-    h, w = level0_shape
-    wp = w + 2 * _PAD_IMG
-    return n % _BLK == 0 and _prep_vmem_bytes(wp) <= 12 * 1024 * 1024
+    return win == 21 and n % _BLK == 0
 
 
 def track(prev_pyr, cur_pyr, prev_pts, init_pts, valid, cfg,
@@ -626,6 +657,10 @@ def track(prev_pyr, cur_pyr, prev_pts, init_pts, valid, cfg,
     (points, status, error, min_eig), level-0 px coordinates.
     """
     win = cfg.klt_window_size
+    assert supported(prev_pyr[0].shape, prev_pts.shape[0], win), (
+        "pallas_lk.track called outside its supported() envelope "
+        f"(win={win}, n={prev_pts.shape[0]}) — the corr-table geometry "
+        "requires win == 21 and n % 32 == 0; use klt.track for dispatch")
     shapes = tuple(l.shape for l in prev_pyr)
     top = 0
     for lvl in range(len(shapes)):

@@ -75,6 +75,18 @@ class TestPallasLKParity:
         assert np.asarray(ref.status).sum() >= 28  # scene is trackable
         _assert_parity(ref, got)
 
+    @pytest.mark.slow
+    def test_wide_level_parity(self):
+        """640-wide level 0 takes the XLA-hoisted column-selection path
+        (_col_patches, image-size-independent kernel VMEM) — parity with
+        the XLA tracker at the reference's native resolution."""
+        prev, cur, q = _scene(h=480, w=640, n=32, shift=(1.2, -2.0))
+        cfg = VIOConfig(max_features=32)
+        valid = jnp.ones(32, bool)
+        ref, got = _run_both(prev, cur, q, q, valid, cfg, levels=3)
+        assert np.asarray(ref.status).sum() >= 28
+        _assert_parity(ref, got)
+
     def test_shear_parity(self):
         prev, cur, q = _scene(shear=0.04, shift=(0.7, 1.1))
         cfg = VIOConfig(max_features=32)
@@ -209,8 +221,13 @@ class TestSupportedGate:
     def test_block_and_vmem_gates(self):
         assert not pallas_lk.supported((120, 160), 100, win=21)  # n%32
         assert pallas_lk.supported((240, 320), 128, win=21)
-        # 640x480 level-0 exceeds the prep-kernel working-set bound
-        assert not pallas_lk.supported((480, 640), 128, win=21)
+        # 640x480 level-0 is covered too (wide levels hoist column
+        # selection to XLA, _col_patches — the kernel working set is
+        # image-size-independent)
+        assert pallas_lk.supported((480, 640), 128, win=21)
+        # ... and the wide path is what that level selects internally
+        assert pallas_lk._prep_vmem_bytes(640 + 2 * pallas_lk._PAD_IMG) \
+            > 12 * 1024 * 1024
 
     def test_dispatch_respects_window_size(self):
         """klt.selected_backend never picks the fused path for win!=21."""
