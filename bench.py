@@ -109,6 +109,58 @@ def bench_tpu(frames, times):
     return fps
 
 
+def bench_tpu_fwi(frames, times):
+    """The reference's HIGH-FEATURE operating point end-to-end: 400
+    features, input ÷2 => 320x240 processed, 512 slots
+    (params/fast_with_insight.yaml:2,23 via configs/fast_with_insight.yaml)
+    on the fused corr-table tracker.  min_new_feature_dist is tightened to
+    8 px for the same reason as the headline bench: the reference's 30 px
+    exclusion disks tile a 320x240 frame at ~80 features, which would
+    leave the 400-feature budget unexercised.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ekf_vio_tpu import engine
+    from ekf_vio_tpu.config import VIOConfig
+    from ekf_vio_tpu.frontend import camera as cam_mod
+    from ekf_vio_tpu.frontend import klt
+
+    cfg = VIOConfig.from_yaml(os.path.join(REPO, "configs",
+                                           "fast_with_insight.yaml"))
+    cfg = cfg.replace(min_new_feature_dist=8.0, fast_threshold=30)
+    assert cfg.num_features == 400 and cfg.inverse_image_scale == 2
+    s = cfg.inverse_image_scale
+    w, h = W_IN // s, H_IN // s
+    cam = engine.make_hashable_camera(
+        [[458.0 / s, 0, w / 2], [0, 458.0 / s, h / 2], [0, 0, 1]], w, h)
+
+    backend = klt.selected_backend((h, w), cfg.max_features, cfg)
+    assert backend == "pallas_lk", f"fwi tracker backend: {backend}"
+
+    imgs = jnp.asarray(frames)
+    small = jax.jit(lambda x: cam_mod.downscale_image(x, s))(imgs)
+    ts = jnp.asarray(times)
+
+    _, outs = engine.run_sequence(small, ts, cfg, cam)
+    jax.block_until_ready(outs)
+    t0 = time.time()
+    estate, outs = engine.run_sequence(small, ts, cfg, cam)
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    tracked = np.asarray(outs.num_tracked)
+    assert np.isfinite(np.asarray(outs.base_mu)).all(), "fwi pipeline NaN"
+    # the budget must actually be exercised (not a 30-feature run wearing
+    # a 400-feature profile)
+    assert tracked[10:].mean() > 250, f"fwi tracked only {tracked[10:].mean():.0f}"
+    # checkSigma invariants at 512 slots (TightlyCoupledEKF.cpp:699-714)
+    sig = np.asarray(estate.filt.Sigma)
+    assert np.isfinite(sig).all(), "fwi Sigma non-finite"
+    assert np.diag(sig).min() >= -1e-5, "fwi negative variance"
+    assert np.abs(sig - sig.T).max() < 1e-3, "fwi Sigma asymmetric"
+    return (N_FRAMES - 1) / dt, float(tracked[10:].mean())
+
+
 def bench_tpu_batched(frames, times, batch=16):
     """Aggregate frames/s with `batch` sequences vmapped on one chip
     (BASELINE config 4's single-chip half).  Each batch lane runs the
@@ -213,6 +265,7 @@ def main():
     tpu_fps = bench_tpu(frames, times)
     imu_fps = bench_tpu_imu()
     batch16_fps = bench_tpu_batched(frames, times, batch=16)
+    fwi_fps, fwi_tracked = bench_tpu_fwi(frames, times)
 
     out = {
         "metric": "vio_pipeline_frames_per_s",
@@ -222,6 +275,10 @@ def main():
         "mono_inertial_fps": round(imu_fps, 2),
         "batch16_aggregate_fps": round(batch16_fps, 2),
         "batch16_speedup": round(batch16_fps / tpu_fps, 2),
+        # the reference's high-feature config (params/fast_with_insight
+        # .yaml): 400 features, 320x240, 512 slots, fused tracker asserted
+        "fast_with_insight_fps": round(fwi_fps, 2),
+        "fast_with_insight_mean_tracked": round(fwi_tracked, 1),
     }
     # B in {1,4,16,64} curve from the standing artifact (regenerated by
     # benchmarks/batch_scaling.py — too many one-off compiles to redo on

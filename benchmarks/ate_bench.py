@@ -65,6 +65,28 @@ def main():
         report[f"{name}_run_s"] = round(run_s, 1)
         report[f"{name}_compile_s"] = round(wall_first - run_s, 1)
 
+    # the reference's high-feature operating point (configs/
+    # fast_with_insight.yaml mirror of params/fast_with_insight.yaml):
+    # 400 features / 512 slots on the same rendered scene (already 320x240
+    # = the profile's ÷2 processed size), vision-only like the profile
+    fwi = VIOConfig.from_yaml(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "fast_with_insight.yaml"))
+    fwi = fwi.replace(min_new_feature_dist=8.0, fast_threshold=25,
+                      klt_measurement_variance_px=0.05)
+    backend_fwi = klt.selected_backend((h, w), fwi.max_features, fwi)
+    if jax.default_backend() == "tpu":
+        assert backend_fwi == "pallas_lk", f"fwi backend: {backend_fwi}"
+    t0 = time.time()
+    ate, outs = rendered.evaluate_ate(seq, cfg=fwi, use_imu=False)
+    report["fast_with_insight_ate_rmse_m"] = round(float(ate), 5)
+    report["fast_with_insight_ate_pct_path"] = round(
+        100 * float(ate) / path_len, 3)
+    report["fast_with_insight_mean_tracked"] = round(
+        float(np.mean(np.asarray(outs.num_tracked))), 1)
+    report["fast_with_insight_wall_s"] = round(time.time() - t0, 1)
+    report["fast_with_insight_tracker_backend"] = backend_fwi
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ate.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)

@@ -74,7 +74,7 @@ def run_case(n_slots, square_root, floor_on, steps=300):
 def main():
     device = jax.devices()[0]
     results = []
-    for n in (128, 503):
+    for n in (128, 503, 512):
         for form, floor in (("cov", True), ("cov", False), ("sqrt", False)):
             r = run_case(n, square_root=(form == "sqrt"), floor_on=floor)
             results.append(r)

@@ -90,6 +90,23 @@ def imu_noise_psd(cfg: VIOConfig) -> jnp.ndarray:
     )
 
 
+def extend_batch_with_remainder(batch: ImuSample, rem) -> ImuSample:
+    """Append one zero-order-hold sample covering a camera-interval
+    remainder not spanned by IMU data: the last valid sample's gyro/accel
+    persisted over ``rem`` seconds.  With rem = 0 the appended row is
+    dt=0 padding — an exact no-op under the compound propagation — so
+    callers need no branch around it."""
+    k = batch.dt.shape[0]
+    valid = batch.dt > 0
+    idx = jnp.maximum(jnp.max(jnp.where(valid, jnp.arange(k), -1)), 0)
+    rem = jnp.where(rem > 1e-6, rem, 0.0)
+    return ImuSample(
+        dt=jnp.concatenate([batch.dt, rem[None]]),
+        gyro=jnp.concatenate([batch.gyro, batch.gyro[idx][None]]),
+        accel=jnp.concatenate([batch.accel, batch.accel[idx][None]]),
+    )
+
+
 def propagate_imu_step(state: FilterState, cfg: VIOConfig, sample: ImuSample,
                        gravity_w) -> FilterState:
     """One IMU sample: exact F/G, blocked P' = FPFᵀ + GQGᵀ.
@@ -249,6 +266,92 @@ def propagate_imu_batch(state: FilterState, cfg: VIOConfig, batch: ImuSample,
     return state
 
 
+def _mean_chain(x0, batch: ImuSample, gravity_w):
+    """Closed-form mean integration of the 29-dim [base, qc, tc] system
+    over a camera interval — the exact algebra of scanning
+    ``_motion_step29`` with zero noise, reassociated into batched ops with
+    O(log K) sequential depth.  The sequential scan was the latency floor
+    of the mono-inertial step (~200 dependent scalar-vector ops, none
+    filling the VPU — the roofline's 1.2%-of-SoL IMU interval).
+
+    Derivation: with w_i = R(q_i) v_i (world velocity) and
+    A_i = R(q_i)(accel_i − b_a) + g_w (world acceleration), the
+    body-frame recursions of convolve_base_state collapse to prefix sums
+
+        q_i  = q_0 ⊗ dq_0 ⊗ … ⊗ dq_{i-1}      (cumulative quat product)
+        w_{i+1} = w_i + dt_i A_i                           (cumsum)
+        p_{i+1} = p_i + dt_i w_i + ½ dt_i² A_i             (cumsum)
+        R(q_i) tc_i = p_0 − p_i,   qc_i = (dq_0 ⊗ … ⊗ dq_{i-1})*
+
+    Returns (x_final [29], xs [K, 29]) with xs_j the state BEFORE sample
+    j — what the covariance-transport Jacobians linearize at.  Zero-dt
+    rows are exact no-ops (dq = identity, zero increments), so padding
+    anywhere in the batch is handled.
+    """
+    dt = batch.dt
+    k = dt.shape[0]
+    dtype = x0.dtype
+    p0, q0, v0 = x0[0:3], x0[3:7], x0[7:10]
+    b_a, b_g = x0[16:19], x0[19:22]
+
+    omega = batch.gyro - b_g                           # [K, 3]
+    dq = lie.quat_exp_omega(omega, dt[:, None])        # [K, 4]; id at dt=0
+
+    # cumulative orientation increments c_i = dq_0 ⊗ … ⊗ dq_i (log depth)
+    c = jax.lax.associative_scan(lie.quat_mul, dq)     # [K, 4]
+    ident = jnp.concatenate([jnp.ones((1,), dtype), jnp.zeros((3,), dtype)])
+    c_excl = jnp.concatenate([ident[None], c[:-1]], 0)
+    q_pre = lie.quat_mul(q0[None], c_excl)             # [K, 4]
+    q_pre_inv = lie.quat_conj(q_pre)
+
+    A = lie.quat_rotate(q_pre, batch.accel - b_a) + gravity_w[None]
+    dv = dt[:, None] * A
+    w0 = lie.quat_rotate(q0, v0)
+    w_pre = w0[None] + jnp.cumsum(dv, 0) - dv          # exclusive prefix
+    D = dt[:, None] * w_pre + 0.5 * (dt * dt)[:, None] * A
+    p_pre = p0[None] + jnp.cumsum(D, 0) - D
+
+    v_pre = lie.quat_rotate(q_pre_inv, w_pre)
+    qc_pre = lie.quat_conj(c_excl)
+    tc_pre = lie.quat_rotate(q_pre_inv, p0[None] - p_pre)
+
+    # ω/a state slots of the PRE states: the control substitution
+    # overwrites both before any use inside the step, so their xs values
+    # never enter the Jacobians; carry x0's slots through
+    om_slot = jnp.broadcast_to(x0[10:13], (k, 3))
+    ac_slot = jnp.broadcast_to(x0[13:16], (k, 3))
+    bias = jnp.broadcast_to(x0[16:22], (k, 6))
+    xs = jnp.concatenate(
+        [p_pre, q_pre, v_pre, om_slot, ac_slot, bias, qc_pre, tc_pre], -1)
+
+    # final state (after the last valid sample)
+    q_fin = lie.quat_mul(q0, c[-1])
+    q_fin_inv = lie.quat_conj(q_fin)
+    w_fin = w0 + jnp.sum(dv, 0)
+    p_fin = p0 + jnp.sum(D, 0)
+    v_fin = lie.quat_rotate(q_fin_inv, w_fin)
+    qc_fin = lie.quat_conj(c[-1])
+    tc_fin = lie.quat_rotate(q_fin_inv, p0 - p_fin)
+
+    # ω/a slots after the interval: the last valid sample's substituted
+    # rate and its dq⁻¹-transported acceleration (convolve_base_state
+    # semantics); an all-padding interval keeps x0's slots
+    valid = dt > 0
+    last = jnp.max(jnp.where(valid, jnp.arange(k), -1))
+    has = last >= 0
+    idx = jnp.maximum(last, 0)
+    a_pre = (batch.accel - b_a
+             + lie.quat_rotate(q_pre_inv,
+                               jnp.broadcast_to(gravity_w, (k, 3))))
+    a_post = lie.quat_rotate(lie.quat_conj(dq), a_pre)
+    om_fin = jnp.where(has, omega[idx], x0[10:13])
+    ac_fin = jnp.where(has, a_post[idx], x0[13:16])
+
+    x_fin = jnp.concatenate(
+        [p_fin, q_fin, v_fin, om_fin, ac_fin, x0[16:22], qc_fin, tc_fin])
+    return x_fin, xs
+
+
 @jax.default_matmul_precision("float32")
 def compound_interval(base_mu, cfg: VIOConfig, batch: ImuSample, gravity_w,
                       dtype, lin_base=None):
@@ -261,39 +364,26 @@ def compound_interval(base_mu, cfg: VIOConfig, batch: ImuSample, gravity_w,
     when ``lin_base`` is None).
     """
     psd = imu_noise_psd(cfg).astype(dtype)
-    zero_n = jnp.zeros(12, dtype)
 
     x0 = jnp.concatenate(
         [base_mu, jnp.array([1.0, 0, 0, 0], dtype), jnp.zeros(3, dtype)])
 
-    # Phase 1 — mean chain (the only sequential dependency), unrolled so
-    # XLA fuses the per-sample elementwise chains into one kernel.  With
-    # FEJ the linearization chain rides the SAME scan as a second row
-    # ([2, 29] carry) instead of a second scan — one sequential graph
-    # instead of two (r3's second chain doubled the rollout compile).
-    def mbody1(x, smp):
-        x2 = _motion_step29(x, smp.gyro, smp.accel, zero_n, smp.dt, gravity_w)
-        return jnp.where(smp.dt > 0, x2, x), x
-
+    # Phase 1 — closed-form mean chain (_mean_chain): one cumulative
+    # quaternion product + world-frame prefix sums instead of a K-step
+    # sequential scan.  With FEJ the linearization chain is a second vmap
+    # lane over the same batched ops.
     k = batch.dt.shape[0]
     if lin_base is None:
-        x, xs = jax.lax.scan(mbody1, x0, batch, unroll=min(k, 16))
+        x, xs = _mean_chain(x0, batch, gravity_w)
         xs_lin, x_lin = xs, x
     else:
         x0_lin = jnp.concatenate(
             [lin_base.astype(dtype), jnp.array([1.0, 0, 0, 0], dtype),
              jnp.zeros(3, dtype)])
-
-        def mbody2(x2r, smp):
-            nxt = jax.vmap(
-                lambda r: _motion_step29(r, smp.gyro, smp.accel, zero_n,
-                                         smp.dt, gravity_w))(x2r)
-            return jnp.where(smp.dt > 0, nxt, x2r), x2r
-
-        xpair, xspair = jax.lax.scan(
-            mbody2, jnp.stack([x0, x0_lin]), batch, unroll=min(k, 16))
-        x, x_lin = xpair[0], xpair[1]
-        xs, xs_lin = xspair[:, 0], xspair[:, 1]
+        xf2, xs2 = jax.vmap(_mean_chain, in_axes=(0, None, None))(
+            jnp.stack([x0, x0_lin]), batch, gravity_w)
+        x, x_lin = xf2[0], xf2[1]
+        xs, xs_lin = xs2[0], xs2[1]
 
     # Phase 2 — per-sample Jacobians, batched over the whole interval
     # (sequentializing these inside the scan is 2.5x slower on hardware);

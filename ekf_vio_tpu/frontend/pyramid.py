@@ -28,8 +28,22 @@ def _sep_filter5(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
-    """Blur + take even rows/cols (cv::pyrDown semantics)."""
-    return _sep_filter5(img)[::2, ::2]
+    """Blur + take even rows/cols (cv::pyrDown semantics).
+
+    The decimation is phrased as reshape-to-phases + unit slice instead
+    of ``[::2, ::2]``: the strided slice lowers to a scalar gather fusion
+    on TPU (measured 236 us per 320x240 build step — the single largest
+    op in the mono-inertial rollout trace), while the phase reshape is a
+    layout-friendly contiguous slice (45 us, bit-identical output)."""
+    f = _sep_filter5(img)
+    h, w = f.shape
+    if h % 2:  # [::2] keeps ceil(h/2) samples incl. the last row/col
+        f = jnp.concatenate([f, f[-1:]], 0)
+    if w % 2:
+        f = jnp.concatenate([f, f[:, -1:]], 1)
+    hp, wp = f.shape
+    fe = f.reshape(hp // 2, 2, wp)[:, 0]
+    return fe.reshape(hp // 2, wp // 2, 2)[:, :, 0]
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> tuple:
