@@ -520,7 +520,11 @@ def _track_batched(prev_levels, cur_levels, prev_pts, init_pts, valid,
         # the block down with the flat batch size
         if bn % _BLK2 == 0 and bn <= 1024:
             blk2 = _BLK2
-        elif bn % 128 == 0 and bn <= 4096:
+        elif bn % 128 == 0 and bn <= 8192:
+            # 128-row blocks verified to fit scoped VMEM through bn=8192
+            # (b64 x 128 slots); dropping to 32-row blocks at bn>4096 was
+            # the b64<b16 aggregate-fps inversion (r4 weak #1) — 4x the
+            # iter-kernel grid programs for no VMEM benefit
             blk2 = 128
         else:
             blk2 = _BLK

@@ -17,12 +17,40 @@ from ekf_vio_tpu import engine
 from ekf_vio_tpu.config import VIOConfig
 
 
+# Most-efficient per-chip lane count, measured (benchmarks/
+# batch_scaling.json): per-lane step time falls until B=16, then RISES —
+# at B=64 XLA's layout assignment starts materializing batch-minor
+# transposes of the per-lane pyramids and the tracker's working set spills
+# double-buffering.  Larger batches therefore run as sequential
+# micro-batches of this size (standard serving practice), which keeps the
+# aggregate curve monotone at the B=16 per-lane rate.
+MICROBATCH = 16
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam"))
-def run_sequences_batched(images, times, cfg: VIOConfig, cam):
-    """images: [B, T, H, W]; times: [B, T].  Returns per-sequence final
-    EngineStates and stacked StepOutputs, batch-leading."""
+def _run_microbatch(images, times, cfg: VIOConfig, cam):
     return jax.vmap(lambda im, t: engine.run_sequence(im, t, cfg, cam))(
         images, times)
+
+
+def run_sequences_batched(images, times, cfg: VIOConfig, cam,
+                          microbatch: int = MICROBATCH):
+    """images: [B, T, H, W]; times: [B, T].  Returns per-sequence final
+    EngineStates and stacked StepOutputs, batch-leading.
+
+    Batches larger than ``microbatch`` are split into sequential chunks
+    (each fully device-parallel); the results are concatenated on the
+    batch axis.  Chunks are dispatched back-to-back without host syncs in
+    between, so the pipeline stays full."""
+    b = images.shape[0]
+    if b <= microbatch or b % microbatch:
+        return _run_microbatch(images, times, cfg, cam)
+    outs = [
+        _run_microbatch(images[i:i + microbatch], times[i:i + microbatch],
+                        cfg, cam)
+        for i in range(0, b, microbatch)
+    ]
+    return jax.tree.map(lambda *xs: jax.numpy.concatenate(xs, 0), *outs)
 
 
 def run_sequences_sharded(images, times, cfg: VIOConfig, cam, mesh: Mesh):
