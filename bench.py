@@ -209,7 +209,7 @@ def bench_tpu_imu(num_frames=240):
     seq = rendered.generate(num_frames=num_frames)
     cfg = VIOConfig(max_features=128, min_new_feature_dist=10.0,
                     fast_threshold=25, triangulate_new_features=True,
-                    klt_measurement_variance_px=0.05)
+                    klt_measurement_variance_px=0.001, q_feature=1e-7)
     h, w = seq.frames.shape[1:]
     cam = engine.make_hashable_camera(seq.K, w, h)
     args = (jnp.asarray(seq.frames), jnp.asarray(seq.times),

@@ -31,14 +31,15 @@ def main():
         if f"DIAG_{key.upper()}" in os.environ:
             overrides[key] = int(os.environ[f"DIAG_{key.upper()}"])
     for key in ("klt_measurement_variance_px", "init_gyro_bias_sigma",
-                "init_accel_bias_sigma", "init_aligned_velocity_variance"):
+                "init_accel_bias_sigma", "init_aligned_velocity_variance",
+                "q_feature", "bootstrap_depth_sigma_rel", "sigma_jitter_rel"):
         if f"DIAG_{key.upper()}" in os.environ:
             overrides[key] = float(os.environ[f"DIAG_{key.upper()}"])
     if os.environ.get("DIAG_USE_FEJ"):
         overrides["use_fej"] = bool(int(os.environ["DIAG_USE_FEJ"]))
     kw = dict(max_features=128, min_new_feature_dist=10.0,
               fast_threshold=25, triangulate_new_features=True,
-              klt_measurement_variance_px=0.05)
+              klt_measurement_variance_px=0.001, q_feature=1e-7)
     kw.update(overrides)
     cfg = VIOConfig(**kw)
     ate, outs = rendered.evaluate_ate(seq, cfg=cfg, use_imu=True)
@@ -78,9 +79,31 @@ def main():
     ba_true = np.asarray(seq.accel_bias)
 
     idx = np.linspace(0, len(base) - 1, 10).astype(int)
+
+    # ---- pose NEES (full 3x3 position block) and innovation NIS
+    # (VERDICT r4 #4: report the statistics, not just inside-the-bounds).
+    # NEES_k = e_kᵀ P_k⁻¹ e_k with E[NEES] = 3; per-frame 95% band is
+    # chi2_3 [0.2158, 9.3484].  NIS is the mean per-feature 2-dof
+    # innovation statistic (core/update.innovation_nis), E[NIS] = 2.
+    pos_cov = np.asarray(outs.pos_cov)       # [T-start, 3, 3]
+    nees = np.zeros(len(base))
+    for k in range(len(base)):
+        P = pos_cov[k] + 1e-12 * np.eye(3)
+        nees[k] = perr[k] @ np.linalg.solve(P, perr[k])
+    nis = np.asarray(outs.mean_nis)
+    chi3_lo, chi3_hi = 0.2158, 9.3484
+    in_band = float(np.mean((nees[5:] > chi3_lo) & (nees[5:] < chi3_hi)))
+
     rep = {
         "ate_rmse_m": float(ate),
         "ate_pct_path": 100 * float(ate) / path_len,
+        "pos_nees_mean": float(nees[5:].mean()),
+        "pos_nees_t": nees[idx].round(4).tolist(),
+        "pos_nees_frac_in_chi2_95_band": in_band,
+        "pos_nees_expectation": 3.0,
+        "nis_mean": float(nis[5:].mean()),
+        "nis_t": nis[idx].round(4).tolist(),
+        "nis_expectation": 2.0,
         "frames": num_frames,
         "pos_err_final_m": perr[-1].tolist(),
         "pos_sig_final_m": psig[-1].tolist(),

@@ -45,7 +45,27 @@ hands over a dense Σ.
 Orthogonal transforms cannot amplify error, so the factor-space steps are
 backward-stable where the covariance form loses ~half the working
 precision to squaring — the reason this variant holds 503-slot updates in
-f32 with zero jitter (see benchmarks/sqrt_validation.py).
+f32 with zero spectral floor while the floored-off covariance form
+diverges (benchmarks/sqrt_validation.py: cov/no-floor final pos err 2.1 m
+vs sqrt/no-floor 0.063 m at 128 slots).
+
+On the round-4 "accuracy inversion" (sqrt final pos err 0.063 vs
+covariance 0.020; rendered aligned ATE 0.131% vs 0.081%): root-caused
+this round, full write-up in benchmarks/sqrt_analysis.md.  Two real
+findings and one artifact:
+(1) the one-QR array form realizes the posterior of the λ-INFLATED R
+    whenever the spectral floor is applied to the gain, i.e. Σ' + KλKᵀ —
+    fixed below by a second Joseph-exact triangularization with the true
+    R (lockstep per-step |ΔΣ| vs float64: 3e-2 → 4e-7, now matching the
+    covariance path);
+(2) the scenario metric is dominated by the monocular filter's own gauge
+    drift: the float64 dense reference lands at 0.049 after 300 steps,
+    CPU float32 gives dense 0.0645 / sqrt 0.0632 (sqrt marginally
+    BETTER); the TPU covariance path's 0.020 sits below the float64
+    filter's own drift — platform rounding luck, not superior accuracy;
+(3) on the rendered scene the sqrt trajectory's RAW error is uniformly
+    lower (0.125 vs 0.141 m final); the aligned-ATE ordering flips only
+    through the Umeyama gauge fit of two near-identical trajectories.
 """
 from __future__ import annotations
 
@@ -215,8 +235,22 @@ def update_sqrt_factor(
     L = state.Sigma
     HL = L[uv_idx, :] * m[:, None]                      # [2N, D]
 
+    # Relative spectral floor, same semantics as the covariance-form
+    # update (update.py:115-119): λ = jitter + rel · max(diag S) added to
+    # R.  The factor form does not need it for STABILITY (orthogonal
+    # transforms keep L' PSD by construction) — but the floor is also a
+    # measured accuracy regularizer: it statistically inflates R, damping
+    # the gain against linearization/model mismatch.  Running the sqrt
+    # form without it was the r4 "accuracy inversion" (sqrt 0.063 vs
+    # covariance+floor 0.020 final pos err at 128 slots): a tuning
+    # difference, not an arithmetic defect — see
+    # benchmarks/sqrt_validation.py.
+    r_diag = jnp.diagonal(meas_cov, axis1=-2, axis2=-1).reshape(-1)  # [2N]
+    s_diag = (jnp.sum(HL * HL, axis=1) + r_diag) * m
+    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(s_diag)
+
     Rc_blocks = jnp.linalg.cholesky(
-        meas_cov + 1e-30 * jnp.eye(2, dtype=meas_cov.dtype))
+        meas_cov + (lam + 1e-30) * jnp.eye(2, dtype=meas_cov.dtype))
     Rc = block_diag_R(Rc_blocks)
     mm = m[:, None] * m[None, :]
     Rc = Rc * mm + jnp.diag(1.0 - m)
@@ -232,15 +266,31 @@ def update_sqrt_factor(
     U = jnp.linalg.qr(pre_T, mode="r")
     post = U.T
 
-    Sc = post[:two_n, :two_n]
-    G = post[two_n:, :two_n]
-    Lp = post[two_n:, two_n:]
+    Sc = post[:two_n, :two_n]          # chol(HΣHᵀ + R + λ)
+    G = post[two_n:, :two_n]           # ΣHᵀ Sc⁻ᵀ
 
+    # Gain from the λ-damped factorization: K = ΣHᵀ(S+λ)⁻¹ = G Sc⁻¹ —
+    # identical damping to the covariance path's jittered solve.
     e = solve_triangular(Sc, y, lower=True)
-    ok = jnp.isfinite(e).all() & jnp.isfinite(G).all()
+    K = solve_triangular(Sc.T, G.T, lower=False).T      # [D, 2N]
+    ok = jnp.isfinite(e).all() & jnp.isfinite(K).all()
     e = jnp.where(ok, e, 0.0)
+    K = jnp.where(ok, K, 0.0)
 
-    mu = mu + G @ e
+    mu = mu + G @ e                    # = K y
+
+    # Posterior: Joseph-exact triangularization for THIS gain with the
+    # TRUE (un-inflated) R — L' = tria([(I−KH)L | K·cholR]).  PSD by
+    # construction for any K.  The one-QR array form's L' block instead
+    # realizes the posterior of the λ-INFLATED R, i.e. Σ' + KλKᵀ; that
+    # extra inflation every step is exactly the covariance-path/sqrt-path
+    # divergence the r4 A/B traced (per-step |ΔΣ| 3e-2 vs 5e-5 at k=10;
+    # final pos err 3x) — the covariance path dampens only the gain
+    # (update.py uses the unregularized S_true in its Joseph form).
+    Rc_true = block_diag_R(jnp.linalg.cholesky(
+        meas_cov + 1e-30 * jnp.eye(2, dtype=meas_cov.dtype))) * mm
+    pre2 = jnp.concatenate([(L - K @ HL).T, (K @ Rc_true).T], axis=0)
+    Lp = _tria(pre2)
     Lp = jnp.where(ok, Lp, state.Sigma)
 
     qn = jnp.linalg.norm(mu[3:7])

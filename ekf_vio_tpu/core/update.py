@@ -181,3 +181,43 @@ def innovation_stats(state: FilterState, measured_uv, passed):
     mag = jnp.linalg.norm(y, axis=-1)
     cnt = jnp.maximum(jnp.sum(meas), 1)
     return jnp.sum(jnp.where(meas, mag, 0.0)) / cnt
+
+
+def innovation_nis_per_feature(state: FilterState, measured_uv, meas_cov,
+                               factor: bool = False):
+    """[N] per-feature NIS: yᵢᵀ Sᵢ⁻¹ yᵢ with Sᵢ the feature's own 2x2
+    innovation covariance block (Σ_uv + Rᵢ), on the PRE-update state.
+
+    Serves two roles: the innovation-side consistency statistic
+    (E[NIS] = 2 when calibrated) and the chi-square outlier gate
+    (cfg.innovation_gate_chi2).  Block-diagonal form — cross-feature
+    innovation correlations are ignored, the standard per-measurement
+    practice.  ``factor=True`` reads Σ blocks from a Cholesky-factor
+    state (Σ_block = L_uv L_uvᵀ)."""
+    n = state.n_max
+    uv_idx, _ = feature_rowcol_indices(n)
+    y = (measured_uv.reshape(-1) - state.mu_flat()[uv_idx]).reshape(n, 2)
+    if factor:
+        Luv = state.Sigma[uv_idx, :].reshape(n, 2, -1)       # [N, 2, D]
+        Suv = jnp.einsum("nik,njk->nij", Luv, Luv)
+    else:
+        rows = state.Sigma[uv_idx].reshape(n, 2, -1)         # [N, 2, D]
+        cols = uv_idx.reshape(n, 2)                          # [N, 2]
+        Suv = jnp.take_along_axis(rows, cols[:, None, :],
+                                  axis=2)                    # [N, 2, 2]
+    S = Suv + meas_cov
+    det = S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]
+    det = jnp.maximum(det, 1e-30)
+    # closed-form 2x2 inverse quadratic form
+    return (S[:, 1, 1] * y[:, 0] ** 2 - 2 * S[:, 0, 1] * y[:, 0] * y[:, 1]
+            + S[:, 0, 0] * y[:, 1] ** 2) / det
+
+
+def innovation_nis(state: FilterState, measured_uv, meas_cov, passed,
+                   factor: bool = False):
+    """Mean per-feature NIS over measured features (E[NIS] = 2)."""
+    nis = innovation_nis_per_feature(state, measured_uv, meas_cov,
+                                     factor=factor)
+    meas = passed & state.active
+    cnt = jnp.maximum(jnp.sum(meas), 1)
+    return jnp.sum(jnp.where(meas, nis, 0.0)) / cnt

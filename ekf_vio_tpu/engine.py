@@ -45,6 +45,12 @@ class StepOutputs(NamedTuple):
     mean_innovation: jnp.ndarray
     pose_cov_diag: jnp.ndarray  # [7] position+quaternion variance
     tracking_lost: jnp.ndarray  # bool — too few tracks or non-finite state
+    # consistency telemetry (benchmarks/consistency_diag.py): full 3x3
+    # position covariance block (for proper 3-dof pose NEES) and the mean
+    # per-feature innovation NIS of this frame's PRE-update innovations
+    # (E[NIS] = 2 when calibrated; core/update.innovation_nis)
+    pos_cov: jnp.ndarray = None        # [3, 3]
+    mean_nis: jnp.ndarray = None       # scalar
 
 
 def _sigma_diag(filt: ekf.FilterState, cfg: VIOConfig) -> jnp.ndarray:
@@ -85,6 +91,15 @@ def initialize(
     pyr = pyramid.build_pyramid(img, cfg.klt_max_pyramid_level)
     return EngineState(filt=filt, prev_pyr=pyr, frame_idx=jnp.int32(1),
                        lin_base=filt.base_mu)
+
+
+def _rel_eig_keep(min_eig, mask, rel):
+    """Keep mask for the relative min-eigen structure gate: min_eig above
+    (frame median over ``mask`` features) / rel.  With no masked features
+    the median is NaN and every comparison is False — callers AND this
+    with ``mask``, so the degenerate case stays all-failed."""
+    med = jnp.nanquantile(jnp.where(mask, min_eig, jnp.nan), 0.5)
+    return min_eig > med / rel
 
 
 def _recover_tracking_lost(filt: ekf.FilterState, cfg: VIOConfig, lost):
@@ -193,8 +208,30 @@ def step(
     # border kill-pad rejection (KLTTracker.cpp:73)
     passed = res.status & cam_mod.in_kill_box(cam, res.points, cfg.kill_pad)
 
+    if cfg.min_eigen_rel_gate > 0:
+        # relative structure gate (see VIOConfig.min_eigen_rel_gate):
+        # features in gradient-degenerate regions (grazing-angle
+        # foreshortening, blur) slide without failing LK's own checks
+        passed = passed & _rel_eig_keep(res.min_eig, passed,
+                                        cfg.min_eigen_rel_gate)
+
     # --- update
     measured_uv = cam_mod.pixel_to_metric(cam, res.points)
+
+    if cfg.innovation_gate_chi2 > 0:
+        # chi-square innovation gate (Mahalanobis outlier rejection —
+        # the robustness layer the reference lacks): a mis-track whose
+        # innovation is beyond-gate sigma fails the frame and frees its
+        # slot instead of feeding the update.  Uses the constant-R
+        # metric covariance regardless of cfg.klt_covariance (the gate
+        # needs a stable yardstick, not the per-frame SSD estimate).
+        from ekf_vio_tpu.core.update import innovation_nis_per_feature
+
+        gate_cov = klt.measurement_covariance_metric(
+            cam.fx, cam.fy, cfg.max_features, cfg)
+        nis_f = innovation_nis_per_feature(filt, measured_uv, gate_cov,
+                                           factor=sq)
+        passed = passed & (nis_f <= cfg.innovation_gate_chi2)
 
     if imu_batch is not None and cfg.triangulate_new_features:
         # Depth bootstrap: with an IMU the metric scale is observable, so
@@ -260,6 +297,9 @@ def step(
         meas_cov = klt.measurement_covariance_metric(
             cam.fx, cam.fy, cfg.max_features, cfg)
     innov = ekf.innovation_stats(filt, measured_uv, passed)
+    from ekf_vio_tpu.core.update import innovation_nis
+
+    nis = innovation_nis(filt, measured_uv, meas_cov, passed, factor=sq)
     if sq:
         filt = sqrt_filter.update_sqrt_factor(filt, cfg, measured_uv,
                                               meas_cov, passed)
@@ -333,6 +373,11 @@ def step(
         filt = ekf.add_features(filt, cfg, cand_uv, cand_valid,
                                 depths=depths, depth_vars=depth_vars)
 
+    if sq:
+        L3 = filt.Sigma[:3, :]
+        pos_cov = L3 @ L3.T
+    else:
+        pos_cov = filt.Sigma[:3, :3]
     out = StepOutputs(
         base_mu=filt.base_mu,
         num_tracked=num_tracked,
@@ -340,6 +385,8 @@ def step(
         mean_innovation=innov,
         pose_cov_diag=_pose_cov_diag(filt, cfg),
         tracking_lost=lost,
+        pos_cov=pos_cov,
+        mean_nis=nis,
     )
     return EngineState(filt=filt, prev_pyr=cur_pyr,
                        frame_idx=estate.frame_idx + 1,
@@ -399,6 +446,9 @@ def initialize_imu(
         res = klt.track(pyr_prev, pyr_i, px_p, px_p, valid_p, cfg)
         valid_i = valid_p & res.status & cam_mod.in_kill_box(
             cam, res.points, cfg.kill_pad)
+        if cfg.min_eigen_rel_gate > 0:  # structure gate, as in step()
+            valid_i = valid_i & _rel_eig_keep(res.min_eig, valid_i,
+                                              cfg.min_eigen_rel_gate)
         return (pyr_i, res.points, valid_i), (
             cam_mod.pixel_to_metric(cam, res.points), valid_i)
 

@@ -163,6 +163,8 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
         mean_innovation=innov,
         pose_cov_diag=jnp.diag(filt.bb)[:7],
         tracking_lost=lost,
+        pos_cov=filt.bb[:3, :3],
+        mean_nis=jnp.float32(0.0),  # consistency telemetry: dense path only
     )
     return ShardedEngineState(filt=filt, prev_pyr=cur_pyr,
                               frame_idx=estate.frame_idx + 1,

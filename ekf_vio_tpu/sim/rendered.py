@@ -108,13 +108,34 @@ def _undistort_normalized(xd, yd, dist, iters=30):
     return x, y
 
 
-def _render(tex, K, R, p, plane_depth, tex_scale, h, w, dist=None):
+def _render(tex, K, R, p, plane_depth, tex_scale, h, w, dist=None,
+            supersample: int = 1):
     """Inverse-warp the plane texture into the camera: for each pixel,
     intersect the ray with the plane z = plane_depth (world) and sample
     the texture bilinearly.  With ``dist`` (radtan [k1,k2,p1,p2,k3]) the
     rendered image is the DISTORTED camera image: each pixel's normalized
     coords are radtan-undistorted before ray casting — exactly the model
-    cv2's undistort inverts (EKFVIO's rectify nodelet role)."""
+    cv2's undistort inverts (EKFVIO's rectify nodelet role).
+
+    ``supersample`` > 1 renders at s x the resolution and box-averages
+    down — area-filtered anti-aliasing.  Point-sampled bilinear lookup
+    ALIASES under minification (steep viewing angles foreshorten the
+    plane below the texture's Nyquist rate); on the aggressive scene at
+    32 deg yaw the aliasing pattern shifts frame-to-frame and measured
+    as a ~1 px systematic tracker error that the filter integrated into
+    a spurious 0.4 rad/s gyro-bias estimate.  A real camera's pixel
+    aperture area-integrates, so the supersampled image is the
+    physically faithful one."""
+    if supersample > 1:
+        s = supersample
+        Ks = K.copy() * 1.0
+        Ks[0, 0] *= s
+        Ks[1, 1] *= s
+        Ks[0, 2] = K[0, 2] * s + (s - 1) / 2.0
+        Ks[1, 2] = K[1, 2] * s + (s - 1) / 2.0
+        big = _render(tex, Ks, R, p, plane_depth, tex_scale, h * s, w * s,
+                      dist=dist)
+        return big.reshape(h, s, w, s).mean(axis=(1, 3)).astype(np.float32)
     Kinv = np.linalg.inv(K)
     xs, ys = np.meshgrid(np.arange(w), np.arange(h))
     rays = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w)], 0)  # [3, HW]
@@ -153,7 +174,9 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
              f=260.0, plane_depth=2.0, seed=0, gyro_noise=1.7e-4,
              accel_noise=2.0e-3, gyro_bias=(0.002, -0.001, 0.003),
              accel_bias=(0.02, -0.015, 0.01),
-             distortion=None, exposure_drift=0.0) -> RenderedSequence:
+             distortion=None, exposure_drift=0.0,
+             trajectory: "_Trajectory | None" = None,
+             supersample: int = 1) -> RenderedSequence:
     """Render a sequence with consistent images, IMU and ground truth.
 
     Gravity points along +y of the initial camera frame (camera y-down,
@@ -169,7 +192,7 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed + 7)
-    traj = _Trajectory()
+    traj = trajectory if trajectory is not None else _Trajectory()
     tex = _make_texture(seed=seed)
     K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
     g_w = np.array([0.0, 9.81, 0.0])
@@ -177,7 +200,8 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
     times = np.arange(num_frames) / fps
     frames = np.stack([
         _render(tex, K, traj.R(t), traj.pos(t), plane_depth,
-                tex_scale=640.0, h=h, w=w, dist=distortion)
+                tex_scale=640.0, h=h, w=w, dist=distortion,
+                supersample=supersample)
         for t in times
     ])
     if exposure_drift:
@@ -189,22 +213,36 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
     gt_pos = np.stack([traj.pos(t) for t in times])
     gt_quat = np.stack([_mat_to_quat(traj.R(t)) for t in times])
 
-    # IMU stream between frames, with noise and constant biases
-    spf = int(round(imu_rate / fps))           # samples per frame interval
+    # IMU stream between frames, with noise and constant biases.  Samples
+    # exactly TILE each camera interval: full 1/imu_rate steps plus one
+    # partial remainder step when fps does not divide imu_rate (trailing
+    # zero-dt rows are padding).  The old full-steps-only batching
+    # overran non-divisible intervals (30 fps x 200 Hz -> 7x5 ms = 35 ms
+    # of IMU per 33.3 ms frame), a 5% time-scale error the filter can
+    # only explain as a huge phantom gyro bias — the aggressive-scene
+    # attitude runaway root cause.
     dt_s = 1.0 / imu_rate
-    imu_dt = np.full((num_frames - 1, spf), dt_s, np.float32)
+    spf = int(np.ceil(imu_rate / fps)) + 1     # capacity incl. remainder
+    imu_dt = np.zeros((num_frames - 1, spf), np.float32)
     gyro = np.zeros((num_frames - 1, spf, 3), np.float32)
     accel = np.zeros((num_frames - 1, spf, 3), np.float32)
     bg = np.asarray(gyro_bias)
     ba = np.asarray(accel_bias)
     for i in range(num_frames - 1):
-        for s in range(spf):
-            t = times[i] + (s + 0.5) * dt_s
-            R = traj.R(t)
-            gyro[i, s] = (traj.omega_body(t) + bg
-                          + gyro_noise * np.sqrt(imu_rate) * rng.randn(3))
-            accel[i, s] = (R.T @ (traj.acc(t) - (-g_w)) + ba
-                           + accel_noise * np.sqrt(imu_rate) * rng.randn(3))
+        t = times[i]
+        t_end = times[i + 1]
+        s = 0
+        while t_end - t > 1e-9 and s < spf:
+            d = min(dt_s, t_end - t)
+            tm = t + 0.5 * d
+            R = traj.R(tm)
+            imu_dt[i, s] = d
+            gyro[i, s] = (traj.omega_body(tm) + bg
+                          + gyro_noise * np.sqrt(1.0 / d) * rng.randn(3))
+            accel[i, s] = (R.T @ (traj.acc(tm) - (-g_w)) + ba
+                           + accel_noise * np.sqrt(1.0 / d) * rng.randn(3))
+            t += d
+            s += 1
     # specific force f = a − g (accelerometer measures a − g; at rest,
     # a=0 → f = −g: pointing opposite gravity)
     return RenderedSequence(frames=frames, times=times.astype(np.float32),
@@ -214,6 +252,37 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
                             gravity_w=(-g_w).astype(np.float32),
                             gyro_bias=bg.astype(np.float32),
                             accel_bias=ba.astype(np.float32))
+
+
+def generate_aggressive(num_frames=360, fps=30.0, seed=0,
+                        exposure_drift=0.08, **kw) -> RenderedSequence:
+    """Aggressive-motion benchmark scene (VERDICT r4 #5): the handheld-rig
+    regime the reference deploys at 90 fps (launch/sensorRig1.launch:20).
+
+    * yaw sweep 2x0.28 rad = 32 deg with peak body rate ~1.5 rad/s
+      (yaw_amp * yaw_omega = 0.28 * 2pi*0.85), plus a fast pitch nod —
+      features cross the full FOV (half-FOV 31.6 deg at f=260/320 px) and
+      are continuously replaced;
+    * two-plane depth-diverse scene (1.2 m / 3.0 m);
+    * ~3x the nominal translation amplitude, so accelerometer excitation
+      is strong;
+    * exposure drift on (the auto-exposure stand-in the LK front-end
+      must absorb).
+
+    30 fps keeps per-frame rotation (~2.9 deg -> ~13 px at center) inside
+    the tracker's pyramid search envelope, mirroring the reference rig's
+    high-rate camera; the IMU stream still carries the full 1.5 rad/s
+    rates between frames.
+    """
+    traj = _Trajectory(amp=(0.30, 0.18, 0.12), freq=(0.55, 0.4, 0.3),
+                       yaw_amp=0.28, yaw_freq=0.85,
+                       pitch_amp=0.10, pitch_freq=0.6)
+    kw.setdefault("plane_depth", (1.2, 3.0))
+    # area-filtered rendering: at 32 deg foreshortening the point-sampled
+    # texture aliases below its Nyquist rate (see _render)
+    kw.setdefault("supersample", 2)
+    return generate(num_frames=num_frames, fps=fps, seed=seed,
+                    exposure_drift=exposure_drift, trajectory=traj, **kw)
 
 
 def _mat_to_quat(R):
