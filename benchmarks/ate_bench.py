@@ -111,6 +111,18 @@ def main():
             float(np.mean(np.asarray(outs.num_tracked))), 1)
         report[f"{name}_frames_tracking_lost"] = lost
 
+    # A/B: the reference's written-but-never-wired SSD measurement-
+    # covariance estimator (KLTTracker.cpp:111-175), live as
+    # klt_covariance='sample' — measured on the aggressive scene where
+    # per-feature corner quality varies most.  Verdict: it HURTS (the SSD
+    # response surface under perspective warp claims precision in exactly
+    # the template-sliding direction), which empirically vindicates the
+    # reference's own decision to leave it unwired.
+    ate_ssd, outs_ssd = rendered.evaluate_ate(
+        agg, cfg=agg_cfg.replace(klt_covariance="sample"), use_imu=True)
+    report["aggressive_mono_ssd_covariance_ate_pct_path"] = round(
+        100 * float(ate_ssd) / agg_path, 3)
+
     report["compile_note"] = (
         "cold-compile seconds vary +-3x with remote-compile-service "
         "contention (fresh-process probes of the identical mono program "

@@ -56,18 +56,16 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     # --- predict
     frame_qt = None
     if imu_batch is not None:
+        from ekf_vio_tpu.core import imu as imu_mod
+
         lin = estate.lin_base if (cfg.use_fej and estate.lin_base
                                   is not None) else None
+        # interval remainder appended as a zero-order-hold sample (same
+        # as engine.step — one propagation graph, no cond)
+        rem = jnp.maximum(t - (filt.t + jnp.sum(imu_batch.dt)), 0.0)
+        imu_batch = imu_mod.extend_batch_with_remainder(imu_batch, rem)
         filt, frame_qt = sf.sharded_propagate_imu_batch(
             filt, cfg, imu_batch, gravity_w, mesh, lin_base=lin)
-        # remainder predict under lax.cond (see engine.step): the dense
-        # fallback only executes when samples under-span the interval
-        rem = jnp.maximum(t - filt.t, 0.0)
-        filt = jax.lax.cond(
-            rem > 1e-6,
-            lambda f: sf.sharded_predict(f, cfg, rem, mesh),
-            lambda f: f,
-            filt)
     else:
         filt = sf.sharded_predict(filt, cfg, dt, mesh)
     filt = filt.replace(t=jnp.asarray(t, filt.t.dtype))
@@ -80,7 +78,16 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     res = klt.track(estate.prev_pyr, cur_pyr, prev_px, seed_px, filt.active,
                     cfg)
     passed = res.status & cam_mod.in_kill_box(cam, res.points, cfg.kill_pad)
+    if cfg.min_eigen_rel_gate > 0:  # structure gate (engine.step parity)
+        passed = passed & engine._rel_eig_keep(res.min_eig, passed,
+                                               cfg.min_eigen_rel_gate)
     measured_uv = cam_mod.pixel_to_metric(cam, res.points)
+    if cfg.innovation_gate_chi2 > 0:
+        # chi-square innovation gate (engine.step parity): per-feature
+        # 2x2 uv blocks live on the diagonal of the sharded ff block —
+        # a [N, 2, 2] extraction, tiny under GSPMD
+        nis_f = _innovation_nis_sharded(filt, cfg, measured_uv, cam)
+        passed = passed & (nis_f <= cfg.innovation_gate_chi2)
 
     if imu_batch is not None and cfg.triangulate_new_features:
         # depth bootstrap (engine.step's re-init of young wrong-depth
@@ -134,7 +141,10 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     cand_uv = cam_mod.pixel_to_metric(cam, cand_px)
     depths = None
     depth_vars = None
-    if cfg.triangulate_new_features:
+    if cfg.triangulate_new_features and imu_batch is None:
+        # at-birth two-view depth init — vision-only mode; IMU mode skips
+        # the second tracker invocation, the per-frame exact-baseline
+        # bootstrap above covers the transient (engine.step parity)
         from ekf_vio_tpu.core import depth_init, lie
 
         back = klt.track(cur_pyr, estate.prev_pyr, cand_px, cand_px,
@@ -169,6 +179,27 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
     return ShardedEngineState(filt=filt, prev_pyr=cur_pyr,
                               frame_idx=estate.frame_idx + 1,
                               lin_base=new_lin_base), out
+
+
+def _innovation_nis_sharded(filt: sf.ShardedFilterState, cfg: VIOConfig,
+                            measured_uv, cam):
+    """[N] per-feature NIS on the split-Σ state (engine parity: the same
+    statistic as core/update.innovation_nis_per_feature with constant
+    metric R)."""
+    n = filt.n_max
+    y = measured_uv - filt.feat_mu[:, :2]                    # [N, 2]
+    rows = filt.ff.reshape(n, 3, 3 * n)[:, :2, :]            # [N, 2, 3N]
+    col = 3 * jnp.arange(n)[:, None] + jnp.arange(2)[None]   # [N, 2]
+    Suv = jnp.take_along_axis(rows, col[:, None, :], axis=2)  # [N, 2, 2]
+    r = cfg.klt_measurement_variance_px
+    Rm = jnp.array([[r / (cam.fx * cam.fx), 0.0],
+                    [0.0, r / (cam.fy * cam.fy)]])
+    S = Suv + Rm[None]
+    det = jnp.maximum(S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0],
+                      1e-30)
+    return (S[:, 1, 1] * y[:, 0] ** 2
+            - 2 * S[:, 0, 1] * y[:, 0] * y[:, 1]
+            + S[:, 0, 0] * y[:, 1] ** 2) / det
 
 
 def _recover_tracking_lost(filt: sf.ShardedFilterState, cfg: VIOConfig, lost):

@@ -63,7 +63,7 @@ def render_insight(
     EKFVIO.cpp:379-442)."""
     out = np.repeat(np.asarray(img, np.uint8)[..., None], 3, axis=-1)
     green = np.array([0, 255, 0], np.uint8)
-    cyan = np.array([255, 255, 0], np.uint8)
+    cyan = np.array([0, 255, 255], np.uint8)  # RGB (writers convert to BGR)
     for i in range(len(feat_px)):
         if not active[i]:
             continue
