@@ -98,10 +98,12 @@ def bench_tpu(frames, times):
     _, outs = engine.run_sequence(imgs_small, ts, cfg, cam)
     jax.block_until_ready(outs)
 
-    t0 = time.time()
-    estate, outs = engine.run_sequence(imgs_small, ts, cfg, cam)
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: remote-tunnel dispatch jitter is ~10%
+        t0 = time.time()
+        estate, outs = engine.run_sequence(imgs_small, ts, cfg, cam)
+        jax.block_until_ready(outs)
+        dt = min(dt, time.time() - t0)
     fps = (N_FRAMES - 1) / dt
     tracked = np.asarray(outs.num_tracked)
     assert np.isfinite(np.asarray(outs.base_mu)).all(), "TPU pipeline NaN"
@@ -144,10 +146,12 @@ def bench_tpu_fwi(frames, times):
 
     _, outs = engine.run_sequence(small, ts, cfg, cam)
     jax.block_until_ready(outs)
-    t0 = time.time()
-    estate, outs = engine.run_sequence(small, ts, cfg, cam)
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        estate, outs = engine.run_sequence(small, ts, cfg, cam)
+        jax.block_until_ready(outs)
+        dt = min(dt, time.time() - t0)
     tracked = np.asarray(outs.num_tracked)
     assert np.isfinite(np.asarray(outs.base_mu)).all(), "fwi pipeline NaN"
     # the budget must actually be exercised (not a 30-feature run wearing
@@ -188,10 +192,12 @@ def bench_tpu_batched(frames, times, batch=16):
 
     _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
     jax.block_until_ready(outs)
-    t0 = time.time()
-    _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _, outs = run_sequences_batched(imgs_b, ts_b, cfg, cam)
+        jax.block_until_ready(outs)
+        dt = min(dt, time.time() - t0)
     return batch * (N_FRAMES - 1) / dt
 
 
@@ -218,10 +224,12 @@ def bench_tpu_imu(num_frames=240):
 
     _, outs = engine.run_sequence_imu(*args, init_frames=cfg.vi_init_frames)
     jax.block_until_ready(outs)
-    t0 = time.time()
-    _, outs = engine.run_sequence_imu(*args, init_frames=cfg.vi_init_frames)
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _, outs = engine.run_sequence_imu(*args, init_frames=cfg.vi_init_frames)
+        jax.block_until_ready(outs)
+        dt = min(dt, time.time() - t0)
     tracked = np.asarray(outs.num_tracked)
     assert np.isfinite(np.asarray(outs.base_mu)).all(), "IMU pipeline NaN"
     assert tracked[5:].min() > 10, f"IMU pipeline lost tracking: {tracked}"

@@ -213,10 +213,21 @@ def _run_streaming(imgs, ts, cfg, cam, imu, insight_dir, log_every,
         g = (jnp.asarray(gravity_w) if gravity_w is not None
              else jnp.array([0.0, 0.0, -cfg.gravity]))
 
-    estate = engine.initialize(imgs[0], ts[0], cfg, cam)
+    start = 1
+    if imu is not None and cfg.vi_init_frames > 1 \
+            and imgs.shape[0] > cfg.vi_init_frames:
+        # same closed-form visual-inertial alignment as the scan rollout
+        # (engine.run_sequence_imu) — without it the streaming mono path
+        # started cold with unobservable velocity and wrong depths
+        estate = engine.initialize_imu(
+            imgs, ts, jnp.asarray(imu[0]), jnp.asarray(imu[1]),
+            jnp.asarray(imu[2]), g, cfg, cam, cfg.vi_init_frames)
+        start = cfg.vi_init_frames
+    else:
+        estate = engine.initialize(imgs[0], ts[0], cfg, cam)
     timer = FrameTimer(log_every=log_every)
     outs_list = []
-    for i in range(1, imgs.shape[0]):
+    for i in range(start, imgs.shape[0]):
         with timer.frame():
             if imu is not None:
                 batch = imu_mod.ImuSample(

@@ -166,3 +166,29 @@ class TestGravityInit:
         g = imu.estimate_gravity_world(f)
         np.testing.assert_allclose(float(jnp.linalg.norm(g)), 9.81, atol=1e-4)
         assert float(g[2]) < -9.7  # opposite the measured specific force
+
+
+def test_extend_batch_with_remainder():
+    """Zero-order-hold remainder row: rem > 0 appends the last VALID
+    sample's gyro/accel over rem seconds; rem = 0 appends exact dt=0
+    padding (engine.step relies on the no-op property)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ekf_vio_tpu.core.imu import ImuSample, extend_batch_with_remainder
+
+    batch = ImuSample(
+        dt=jnp.array([0.005, 0.005, 0.0]),          # trailing padding
+        gyro=jnp.array([[1.0, 0, 0], [0, 2.0, 0], [0, 0, 0]]),
+        accel=jnp.array([[0, 0, 9.0], [0, 0, 9.5], [0, 0, 0]]))
+    ext = extend_batch_with_remainder(batch, jnp.float32(0.002))
+    assert ext.dt.shape == (4,)
+    np.testing.assert_allclose(float(ext.dt[3]), 0.002)
+    np.testing.assert_allclose(np.asarray(ext.gyro[3]), [0, 2.0, 0])
+    np.testing.assert_allclose(np.asarray(ext.accel[3]), [0, 0, 9.5])
+
+    ext0 = extend_batch_with_remainder(batch, jnp.float32(0.0))
+    assert float(ext0.dt[3]) == 0.0
+    # sub-threshold remainder is clamped to exact padding
+    exts = extend_batch_with_remainder(batch, jnp.float32(5e-7))
+    assert float(exts.dt[3]) == 0.0
