@@ -222,7 +222,12 @@ def generate(num_frames=120, fps=20.0, imu_rate=200.0, w=320, h=240,
     # only explain as a huge phantom gyro bias — the aggressive-scene
     # attitude runaway root cause.
     dt_s = 1.0 / imu_rate
-    spf = int(np.ceil(imu_rate / fps)) + 1     # capacity incl. remainder
+    ratio = imu_rate / fps
+    # capacity: full steps (+1 remainder slot only when fps does not
+    # divide imu_rate — an always-empty padding row costs ~9% of the
+    # compound-interval work for nothing)
+    spf = int(np.ceil(ratio)) + (0 if abs(ratio - round(ratio)) < 1e-9
+                                 else 1)
     imu_dt = np.zeros((num_frames - 1, spf), np.float32)
     gyro = np.zeros((num_frames - 1, spf, 3), np.float32)
     accel = np.zeros((num_frames - 1, spf, 3), np.float32)
