@@ -129,6 +129,42 @@ def feature_rowcol_indices(n_max: int):
     return uv, uvr
 
 
+# --------------------------------------------------------------------------
+# Gather/scatter-free index algebra.  TPU lowers advanced indexing (even
+# with static indices) to scalar-unit gather/scatter fusions — measured at
+# 20-35 us each per frame at D=406, a large slice of the scan body.  The
+# feature sub-blocks are STRIDED (rows 22+3i, +1, +2), so every hot access
+# is expressible as reshape + contiguous slice; diagonals as eye-masked
+# elementwise ops.
+# --------------------------------------------------------------------------
+
+
+def uv_rows(M: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[2N, ...] = M[uv_idx] without a gather: rows 22+3i, 22+3i+1."""
+    tail = M[BASE_STATE_SIZE:]
+    return tail.reshape((n, 3) + tail.shape[1:])[:, :2].reshape(
+        (2 * n,) + tail.shape[1:])
+
+
+def uv_cols(M: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[..., 2N] = M[:, uv_idx] without a gather."""
+    tail = M[:, BASE_STATE_SIZE:]
+    return tail.reshape(tail.shape[0], n, 3)[:, :, :2].reshape(
+        tail.shape[0], 2 * n)
+
+
+def diag_of(M: jnp.ndarray) -> jnp.ndarray:
+    """diag(M) without the gather fusion (eye-masked row reduction)."""
+    d = M.shape[0]
+    return jnp.sum(M * jnp.eye(d, dtype=M.dtype), axis=1)
+
+
+def diag_embed(v: jnp.ndarray) -> jnp.ndarray:
+    """jnp.diag(vector) without the scatter fusion."""
+    d = v.shape[0]
+    return jnp.eye(d, dtype=v.dtype) * v[None, :]
+
+
 def add_features(
     state: FilterState, cfg: VIOConfig, new_uv: jnp.ndarray, valid: jnp.ndarray,
     depths: jnp.ndarray | None = None,
@@ -169,12 +205,13 @@ def add_features(
 
     # Σ bookkeeping: zero the rows/cols of (re)allocated slots, then set the
     # diagonal prior.
-    _, uvr = feature_rowcol_indices(n)
     take3 = jnp.repeat(take, 3)  # [3N]
     # multiplicative wipe: one fused [D,D] pass (a bool-broadcast where()
-    # costs two materialized [D,D] operands)
-    keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
-        1.0 - take3.astype(state.Sigma.dtype))
+    # costs two materialized [D,D] operands).  uvr covers exactly indices
+    # >= BASE_STATE_SIZE, so the keep vector is a concat, not a scatter.
+    keep = jnp.concatenate([
+        jnp.ones((BASE_STATE_SIZE,), state.Sigma.dtype),
+        1.0 - take3.astype(state.Sigma.dtype)])
     Sigma = state.Sigma * (keep[:, None] * keep[None, :])
     if depth_vars is None:
         dvar = jnp.full((n,), cfg.default_point_depth_variance, Sigma.dtype)
@@ -195,8 +232,14 @@ def add_features(
         ),
         0.0,
     ).reshape(-1)
-    diag = jnp.diag(Sigma)
-    Sigma = Sigma.at[uvr, uvr].set(jnp.where(take3, prior, diag[uvr]))
+    # diagonal prior for the taken slots as an eye-masked add — the
+    # scatter form (Sigma.at[uvr, uvr].set) lowered to a 34 us/frame
+    # scalar-unit fusion, and the taken rows were just wiped to zero so
+    # an ADD of the prior is exact
+    add_diag = jnp.concatenate([
+        jnp.zeros((BASE_STATE_SIZE,), Sigma.dtype),
+        jnp.where(take3, prior, 0.0)])
+    Sigma = Sigma + diag_embed(add_diag)
 
     age = jnp.where(take, 0, state.age)
     return state.replace(feat_mu=feat_mu, active=active, klt_ref=klt_ref,
@@ -210,11 +253,11 @@ def drop_features(state: FilterState, drop: jnp.ndarray) -> FilterState:
     their mean returns to the default prior on next allocation.
     """
     n = state.n_max
-    _, uvr = feature_rowcol_indices(n)
     drop = drop & state.active
     drop3 = jnp.repeat(drop, 3)
-    keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
-        1.0 - drop3.astype(state.Sigma.dtype))
+    keep = jnp.concatenate([
+        jnp.ones((BASE_STATE_SIZE,), state.Sigma.dtype),
+        1.0 - drop3.astype(state.Sigma.dtype)])
     Sigma = state.Sigma * (keep[:, None] * keep[None, :])
     return state.replace(active=state.active & ~drop, Sigma=Sigma)
 

@@ -59,7 +59,9 @@ def _sigma_diag(filt: ekf.FilterState, cfg: VIOConfig) -> jnp.ndarray:
         from ekf_vio_tpu.core import sqrt_filter
 
         return sqrt_filter.sigma_diag_factor(filt.Sigma)
-    return jnp.diag(filt.Sigma)
+    from ekf_vio_tpu.core.state import diag_of
+
+    return diag_of(filt.Sigma)
 
 
 def _pose_cov_diag(filt: ekf.FilterState, cfg: VIOConfig) -> jnp.ndarray:
@@ -135,9 +137,11 @@ def _recover_tracking_lost(filt: ekf.FilterState, cfg: VIOConfig, lost):
         jnp.zeros((3 * n,), dtype),
     ])
 
+    from ekf_vio_tpu.core.state import diag_embed
+
     # diag(σ²) in covariance form; its own Cholesky diag(σ) in factor form
-    new_sigma = (jnp.diag(jnp.sqrt(sig_diag)) if cfg.square_root_form
-                 else jnp.diag(sig_diag))
+    new_sigma = (diag_embed(jnp.sqrt(sig_diag)) if cfg.square_root_form
+                 else diag_embed(sig_diag))
     rec = filt.replace(
         base_mu=base,
         active=jnp.zeros((n,), bool),
@@ -262,20 +266,29 @@ def step(
                 & filt.active & disagrees)
 
         rho = jnp.where(boot, rho_new, filt.feat_mu[:, 2])
-        rho_idx = 22 + 3 * jnp.arange(cfg.max_features) + 2
+
+        def rho_vec(vals):
+            """[D] vector with vals at the ρ slots (22+3i+2), zeros
+            elsewhere — interleave build, no scatter fusion."""
+            z = jnp.zeros((cfg.max_features,), filt.Sigma.dtype)
+            return jnp.concatenate([
+                jnp.zeros((22,), filt.Sigma.dtype),
+                jnp.stack([z, z, vals.astype(filt.Sigma.dtype)],
+                          -1).reshape(-1)])
+
         if sq:
-            wipe = jnp.zeros((filt.state_dim,), filt.Sigma.dtype).at[
-                rho_idx].set(boot.astype(filt.Sigma.dtype))
-            new_diag = jnp.zeros((filt.state_dim,), filt.Sigma.dtype).at[
-                rho_idx].set(sig_tri * sig_tri)
+            wipe = rho_vec(boot)
+            new_diag = rho_vec(sig_tri * sig_tri)
             Sigma = sqrt_filter.wipe_rows_factor(filt.Sigma, wipe, new_diag)
         else:
-            keep = jnp.ones((filt.state_dim,), filt.Sigma.dtype).at[
-                rho_idx].set(1.0 - boot.astype(filt.Sigma.dtype))
+            from ekf_vio_tpu.core.state import diag_embed
+
+            keep = 1.0 - rho_vec(boot)
             Sigma = filt.Sigma * (keep[:, None] * keep[None, :])
-            diag = jnp.diag(Sigma)[rho_idx]
-            Sigma = Sigma.at[rho_idx, rho_idx].set(
-                jnp.where(boot, sig_tri * sig_tri, diag))
+            # booted ρ rows were just wiped to zero diag — adding the
+            # new prior is exact; non-booted rows add zero
+            Sigma = Sigma + diag_embed(
+                rho_vec(jnp.where(boot, sig_tri * sig_tri, 0.0)))
         filt = filt.replace(feat_mu=filt.feat_mu.at[:, 2].set(rho),
                             Sigma=Sigma)
 
