@@ -165,6 +165,27 @@ def diag_embed(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(d, dtype=v.dtype) * v[None, :]
 
 
+def block_diag_dense(B: jnp.ndarray) -> jnp.ndarray:
+    """[N, k, k] blocks -> [kN, kN] block diagonal, built directly in 2D.
+
+    The eye-broadcast 4D form ([N,k,N,k] -> reshape) pays a tiled-layout
+    relayout copy on TPU (~11-14 us at kN=256..384); this k²-term masked
+    broadcast stays in the final 2D layout and fuses into the consumer.
+    """
+    n, k, _ = B.shape
+    d = n * k
+    rr = jnp.arange(d)[:, None]
+    cc = jnp.arange(d)[None, :]
+    same_blk = (rr // k) == (cc // k)
+    out = jnp.zeros((d, d), B.dtype)
+    for i in range(k):
+        for j in range(k):
+            vec = jnp.repeat(B[:, i, j], k)        # value at row 2f+i -> r//k
+            m = same_blk & ((rr % k) == i) & ((cc % k) == j)
+            out = out + jnp.where(m, vec[:, None], 0.0)
+    return out
+
+
 def add_features(
     state: FilterState, cfg: VIOConfig, new_uv: jnp.ndarray, valid: jnp.ndarray,
     depths: jnp.ndarray | None = None,

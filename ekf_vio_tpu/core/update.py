@@ -44,12 +44,12 @@ from ekf_vio_tpu.core.state import (
 def block_diag_R(R: jnp.ndarray) -> jnp.ndarray:
     """[N, 2, 2] per-feature covariances -> [2N, 2N] block diagonal.
 
-    Built as an eye-masked broadcast product — the scatter formulation
-    lowered to a 31 us/frame scalar-unit fusion on TPU."""
-    n = R.shape[0]
-    eye_n = jnp.eye(n, dtype=R.dtype)
-    return (eye_n[:, None, :, None] * R[:, :, None, :]).reshape(
-        2 * n, 2 * n)
+    Built in 2D by masked broadcasts (state.block_diag_dense) — both the
+    scatter formulation (31 us/frame scalar-unit fusion) and the 4D
+    eye-broadcast + reshape (11 us relayout copy) are TPU traps."""
+    from ekf_vio_tpu.core.state import block_diag_dense
+
+    return block_diag_dense(R)
 
 
 def update_with_feature_positions(
@@ -123,9 +123,11 @@ def _update_f32(state, cfg, measured_uv, meas_cov, passed, budget=None):
 
     # Mask: unmeasured rows/cols collapse to the identity so the Cholesky
     # stays well posed; corresponding gain columns are zeroed through A.
+    from ekf_vio_tpu.core.state import diag_embed
+
     mm = m[:, None] * m[None, :]
     S_true = S * mm           # unregularized masked S — for the Joseph form
-    S = S * mm + jnp.diag(1.0 - m)
+    S = S * mm + diag_embed(1.0 - m)
     # Relative spectral floor (see VIOConfig.sigma_jitter_rel): the blocked
     # f32 Cholesky cannot resolve eigenvalues below ~ε·λmax of S anyway —
     # floor them, which statistically just inflates R.
@@ -215,12 +217,18 @@ def innovation_nis_per_feature(state: FilterState, measured_uv, meas_cov,
     else:
         # the feature's own 2x2 block of Σ, gather-free: uv rows sliced,
         # then the per-feature [2, 3] column group sliced to its [2, 2]
+        # the feature's own 2x2 block of Σ, extracted by 2D masked row
+        # reductions (any 4D reshape of the tiled [2N, 3N] slice pays a
+        # relayout copy, ~23 us/frame):
+        #   s_i[3f+j] = Σ_uv[2f+i, 3f+j]
         rows = uv_rows(state.Sigma, n)                       # [2N, D]
-        blocks = rows[:, BASE_STATE_SIZE:].reshape(n, 2, n, 3)[:, :, :, :2]
-        # diagonal (feature f with itself) via eye-masked reduction —
-        # einsum diagonal extraction would lower to a gather again
-        eye_n = jnp.eye(n, dtype=rows.dtype)
-        Suv = jnp.sum(blocks * eye_n[:, None, :, None], axis=2)  # [N, 2, 2]
+        T = rows[:, BASE_STATE_SIZE:]                        # [2N, 3N]
+        r_iota = jnp.arange(2 * n)[:, None]
+        f_of_c = (jnp.arange(3 * n) // 3)[None, :]
+        s0 = jnp.sum(jnp.where(r_iota == 2 * f_of_c, T, 0.0), axis=0)
+        s1 = jnp.sum(jnp.where(r_iota == 2 * f_of_c + 1, T, 0.0), axis=0)
+        Suv = jnp.stack([s0.reshape(n, 3)[:, :2],
+                         s1.reshape(n, 3)[:, :2]], axis=1)   # [N, 2, 2]
     S = Suv + meas_cov
     det = S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]
     det = jnp.maximum(det, 1e-30)
