@@ -66,35 +66,36 @@ def integrate_motion(times, imu_dt, imu_gyro, imu_accel, gravity_w,
     the integrated base state at frame K-1 (world frame = frame 0)."""
     k = times.shape[0]
     s_per = imu_dt.shape[1]
-    zero_n = jnp.zeros(12, jnp.float32)
     v0 = jnp.zeros(3) if v0 is None else v0
     bg = jnp.zeros(3) if gyro_bias is None else gyro_bias
     ba = jnp.zeros(3) if accel_bias is None else accel_bias
+    # biases ride the state (imu._mean_chain subtracts them from every
+    # sample — identical to subtracting from the measurements); the
+    # returned base22's bias slots are overwritten by the caller
     x0 = jnp.concatenate([jnp.zeros(3), jnp.array([1.0, 0, 0, 0]),
-                          v0, jnp.zeros(12), jnp.array([1.0, 0, 0, 0]),
-                          jnp.zeros(3)])
+                          v0, jnp.zeros(6), ba, bg,
+                          jnp.array([1.0, 0, 0, 0]), jnp.zeros(3)])
 
-    # one scan over all (k-1)·S samples — keeps the traced graph (and the
-    # jacfwd graph of align_with_gyro_bias) small where a Python loop
-    # would unroll hundreds of motion steps
-    flat = (imu_dt[:k - 1].reshape(-1),
-            imu_gyro[:k - 1].reshape(-1, 3),
-            imu_accel[:k - 1].reshape(-1, 3))
-
-    def body(x, inp):
-        dt_s, gy, ac = inp
-        x2 = imu_mod._motion_step29(x, gy - bg, ac - ba, zero_n, dt_s,
-                                    gravity_w)
-        x = jnp.where(dt_s > 0, x2, x)
-        return x, x
-
-    x, xs = jax.lax.scan(body, x0, flat)
-    ends = xs[s_per - 1::s_per]                        # frame-boundary states
+    # closed-form chain over all (k-1)·S samples (imu._mean_chain: one
+    # cumulative quaternion product + prefix sums) — the sequential
+    # per-sample scan this replaces was ~7 ms per invocation and the
+    # GN bias refinement re-invokes it (with jacfwd) every round,
+    # ~45 ms of the mono-inertial startup.  Differentiable in the
+    # biases through x0 (the GN passes ride jacfwd over this).
+    batch = imu_mod.ImuSample(
+        dt=imu_dt[:k - 1].reshape(-1),
+        gyro=imu_gyro[:k - 1].reshape(-1, 3),
+        accel=imu_accel[:k - 1].reshape(-1, 3))
+    x_fin, xs_pre = imu_mod._mean_chain(x0, batch, gravity_w)
+    # frame boundaries: the state after i·s_per samples is the PRE-state
+    # of sample i·s_per (i < k-1), and x_fin for the last frame
+    mids = xs_pre[s_per::s_per]                        # [(k-2), 29]
+    ends = jnp.concatenate([mids, x_fin[None]])
     quats = jnp.concatenate([jnp.array([[1.0, 0, 0, 0]]), ends[:, 22:26]])
     Rs = jax.vmap(lie.quat_to_matrix)(quats)
     tcs = jnp.concatenate([jnp.zeros((1, 3)), ends[:, 26:29]])
     tau = jnp.asarray(times) - times[0]
-    return Rs, tcs, tau, x[0:22]
+    return Rs, tcs, tau, x_fin[0:22]
 
 
 def align(h_obs, valid, R_i, tc_i, tau_i,
