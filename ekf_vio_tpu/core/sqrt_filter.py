@@ -14,8 +14,10 @@ cancellation-prone operation of the covariance form:
   with S^c S^cᵀ = HΣHᵀ+R, G = ΣHᵀS^{-cᵀ}, and L'L'ᵀ the *Joseph-exact*
   posterior — no Cholesky of S, no explicit gain matrix squaring, no
   (I−KH)Σ(I−KH)ᵀ subtraction, and PSD by construction.  The relative
-  spectral floor the covariance-form update needs on TPU
-  (VIOConfig.sigma_jitter_rel) is unnecessary here and not applied.
+  spectral floor (VIOConfig.sigma_jitter_rel) is NOT needed here for
+  stability, but it is honored as gain damping to match the covariance
+  path's semantics (applied to the gain factorization only; the
+  posterior uses the true R — see update_sqrt_factor).
 
 State representation (round 4, persistent factor): with
 ``VIOConfig.square_root_form`` the engine keeps the LOWER CHOLESKY FACTOR
@@ -75,7 +77,11 @@ from jax.scipy.linalg import solve_triangular
 
 from ekf_vio_tpu.config import BASE_STATE_SIZE, VIOConfig
 from ekf_vio_tpu.core import dynamics
-from ekf_vio_tpu.core.state import FilterState, feature_rowcol_indices
+from ekf_vio_tpu.core.state import (
+    FilterState,
+    diag_embed as state_mod_diag_embed,
+    feature_rowcol_indices,
+)
 from ekf_vio_tpu.core.update import block_diag_R
 
 
@@ -89,9 +95,11 @@ def _stabilized_chol(Sigma):
     update (zero gain columns), so the round trip is exact to fp error in
     rows that are wiped again on slot reuse anyway.
     """
-    d = jnp.diag(Sigma)
+    from ekf_vio_tpu.core.state import diag_embed, diag_of
+
+    d = diag_of(Sigma)
     pad = (d == 0.0).astype(Sigma.dtype)
-    return jnp.linalg.cholesky(Sigma + jnp.diag(pad)), pad
+    return jnp.linalg.cholesky(Sigma + diag_embed(pad)), pad
 
 
 def _tria(pre_T: jnp.ndarray) -> jnp.ndarray:
@@ -137,8 +145,10 @@ def wipe_rows_factor(L: jnp.ndarray, wipe: jnp.ndarray,
     # where-select, not multiply: new_diag may carry NaN at NON-wiped rows
     # (e.g. sig_tri computed over all slots incl. NaN-mean dead ones) and
     # NaN*0 = NaN would poison the whole factor through the QR
-    add = jnp.diag(jnp.where(w > 0.0,
-                             jnp.sqrt(jnp.maximum(new_diag, 0.0)), 0.0))
+    from ekf_vio_tpu.core.state import diag_embed
+
+    add = diag_embed(jnp.where(w > 0.0,
+                               jnp.sqrt(jnp.maximum(new_diag, 0.0)), 0.0))
     return _tria(jnp.concatenate([L1.T, add], axis=0))
 
 
@@ -160,7 +170,9 @@ def predict_sqrt_factor(state: FilterState, cfg: VIOConfig, dt) -> FilterState:
 
     F = dynamics.build_dense_F(Fb, Ffb, Ff)
     L = state.Sigma
-    A = jnp.concatenate([(F @ L).T, jnp.diag(jnp.sqrt(q_diag))], axis=0)
+    from ekf_vio_tpu.core.state import diag_embed
+
+    A = jnp.concatenate([(F @ L).T, diag_embed(jnp.sqrt(q_diag))], axis=0)
     return state.replace(base_mu=base_mu, feat_mu=feat_mu, Sigma=_tria(A),
                          t=state.t + dt)
 
@@ -204,7 +216,7 @@ def propagate_imu_factor(state: FilterState, cfg: VIOConfig, batch,
     F = dynamics.build_dense_F(Fb, Ffb, Ff)
     L = state.Sigma
     A = jnp.concatenate(
-        [(F @ L).T, TC.T, jnp.diag(jnp.sqrt(q_diag))], axis=0)
+        [(F @ L).T, TC.T, state_mod_diag_embed(jnp.sqrt(q_diag))], axis=0)
     Lp = _tria(A)
 
     feat_mu = jnp.where(state.active[:, None], new_feat, state.feat_mu)
@@ -253,7 +265,7 @@ def update_sqrt_factor(
         meas_cov + (lam + 1e-30) * jnp.eye(2, dtype=meas_cov.dtype))
     Rc = block_diag_R(Rc_blocks)
     mm = m[:, None] * m[None, :]
-    Rc = Rc * mm + jnp.diag(1.0 - m)
+    Rc = Rc * mm + state_mod_diag_embed(1.0 - m)
 
     two_n = 2 * n
     pre_T = jnp.concatenate(
@@ -313,11 +325,12 @@ def drop_features_factor(state: FilterState, drop: jnp.ndarray) -> FilterState:
     from ekf_vio_tpu.core import state as state_mod
 
     n = state.n_max
-    _, uvr = state_mod.feature_rowcol_indices(n)
     drop = drop & state.active
     drop3 = jnp.repeat(drop, 3)
-    keep = jnp.ones((state.state_dim,), state.Sigma.dtype).at[uvr].set(
-        1.0 - drop3.astype(state.Sigma.dtype))
+    # uvr covers exactly indices >= BASE_STATE_SIZE: concat, not scatter
+    keep = jnp.concatenate([
+        jnp.ones((BASE_STATE_SIZE,), state.Sigma.dtype),
+        1.0 - drop3.astype(state.Sigma.dtype)])
     L = state.Sigma * keep[:, None]
     return state.replace(active=state.active & ~drop, Sigma=L)
 
@@ -345,10 +358,10 @@ def add_features_factor(state: FilterState, cfg: VIOConfig,
     klt_ref = jnp.where(take[:, None], new_uv[src], state.klt_ref)
     active = state.active | take
 
-    _, uvr = state_mod.feature_rowcol_indices(n)
     take3 = jnp.repeat(take, 3)
-    wipe = jnp.zeros((state.state_dim,), state.Sigma.dtype).at[uvr].set(
-        take3.astype(state.Sigma.dtype))
+    wipe = jnp.concatenate([
+        jnp.zeros((BASE_STATE_SIZE,), state.Sigma.dtype),
+        take3.astype(state.Sigma.dtype)])
     if depth_vars is None:
         dvar = jnp.full((n,), cfg.default_point_depth_variance,
                         state.Sigma.dtype)
@@ -361,8 +374,8 @@ def add_features_factor(state: FilterState, cfg: VIOConfig,
          jnp.full((n,), cfg.default_point_homogenous_variance,
                   state.Sigma.dtype),
          dvar], axis=-1).reshape(-1)
-    new_diag = jnp.zeros((state.state_dim,), state.Sigma.dtype).at[uvr].set(
-        prior3)
+    new_diag = jnp.concatenate([
+        jnp.zeros((BASE_STATE_SIZE,), state.Sigma.dtype), prior3])
     L = wipe_rows_factor(state.Sigma, wipe, new_diag)
 
     age = jnp.where(take, 0, state.age)
