@@ -109,7 +109,8 @@ def step(estate: ShardedEngineState, img, t, cfg: VIOConfig, cam,
                 & filt.active & disagrees)
 
         n = cfg.max_features
-        wipe3 = jnp.zeros((3 * n,), bool).at[3 * jnp.arange(n) + 2].set(boot)
+        zb = jnp.zeros((n,), bool)
+        wipe3 = jnp.stack([zb, zb, boot], -1).reshape(-1)
         diag3 = jnp.zeros((3 * n,), filt.bb.dtype).at[
             3 * jnp.arange(n) + 2].set(jnp.where(boot, sig_tri * sig_tri, 0.0))
         filt = sf.sigma_slot_reset(filt, wipe3, diag3, mesh)

@@ -59,7 +59,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ekf_vio_tpu.config import BASE_STATE_SIZE as NB, VIOConfig
 from ekf_vio_tpu.core import dynamics
-from ekf_vio_tpu.core.state import FilterState
+from ekf_vio_tpu.core.state import FilterState, diag_embed, diag_of
 from ekf_vio_tpu.core.update import block_diag_R
 
 AXIS = "state"
@@ -214,7 +214,7 @@ def _propagate_shard(bb, bf_l, ff_l, Fb, Ffb, Ff, q_base, q_feat):
     q_l = jax.lax.dynamic_slice_in_dim(q_feat, k * n3b, n3b, 0)
     new_ff_l = new_ff_l.at[rows, k * n3b + rows].add(q_l)
 
-    new_bb = Fb @ bb @ Fb.T + jnp.diag(q_base)
+    new_bb = Fb @ bb @ Fb.T + diag_embed(q_base)
     new_bb = 0.5 * (new_bb + new_bb.T)
     return new_bb, new_bf_l, new_ff_l
 
@@ -255,8 +255,8 @@ def _update_shard(bb, bf_l, ff_l, base_mu, feat_mu, klt_ref,
     Rblk = block_diag_R(meas_cov)                             # [2N, 2N]
     S = Uf[:, uvg] + Rblk
     mm = m[:, None] * m[None, :]
-    S = S * mm + jnp.diag(1.0 - m)
-    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(jnp.diag(S) * m)
+    S = S * mm + diag_embed(1.0 - m)
+    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(diag_of(S) * m)
     S = S + lam * jnp.eye(2 * n, dtype=dtype)
 
     Ub_m = Ub * m[:, None]
@@ -444,8 +444,8 @@ def _update_shard_compact(bb, bf_l, ff_l, base_mu, feat_mu, klt_ref,
     Rblk = block_diag_R(meas_cov[idx_c])                      # [2B, 2B]
     S = Uf_c[:, uvg_c] + Rblk
     mm = m[:, None] * m[None, :]
-    S = S * mm + jnp.diag(1.0 - m)
-    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(jnp.diag(S) * m)
+    S = S * mm + diag_embed(1.0 - m)
+    lam = cfg.sigma_jitter + cfg.sigma_jitter_rel * jnp.max(diag_of(S) * m)
     S = S + lam * jnp.eye(2 * b, dtype=dtype)
 
     Ub_m = Ub_c * m[:, None]
