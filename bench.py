@@ -36,7 +36,6 @@ W_IN, H_IN = 640, 480
 # enough frames that the one-off host dispatch (~35 ms through the remote
 # tunnel) amortizes; per-frame time is converged by T≈240
 N_FRAMES = 240
-WARMUP = 2
 
 
 def make_frames(seed=0):

@@ -11,6 +11,21 @@ initialize lazily, so the XLA flag below still lands in time).
 """
 import os
 
+# Raise the stack soft limit before jax loads: one full-suite run
+# segfaulted inside XLA's CPU backend_compile (deep-graph recursion
+# against the 8 MB default stack); threads created after this inherit
+# the larger limit.  Harmless when the default suffices.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 ON_TPU = bool(os.environ.get("EKF_VIO_TESTS_ON_TPU"))
 
 if not ON_TPU:
